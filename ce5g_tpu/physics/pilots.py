@@ -1,0 +1,138 @@
+"""Pilot pattern generation, fixed-shape and batchable.
+
+Parity source: reference src/channel_simulator.py:206-260 — the reference
+always draws *random scattered* pilots (shuffle all S·K resource elements,
+keep the first ``int(total · density)``), regardless of the YAML 'pattern'
+field. We reproduce that as the default and additionally provide real 'comb'
+and 'block' patterns.
+
+Fixed-shape contract (for jit/vmap over mixed densities): every pattern is
+represented by
+    mask:      (S, K) float32 — 1.0 at pilot REs;
+    positions: (P_max, 2) int32 — (symbol, subcarrier) of each pilot slot;
+    valid:     (P_max,) float32 — 1.0 for slots < num_pilots (rest padding).
+``P_max = int(total · max_density)`` is static; ``num_pilots`` may be traced.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PilotPattern(NamedTuple):
+    mask: jax.Array  # (S, K) float32
+    positions: jax.Array  # (P_max, 2) int32, padded
+    valid: jax.Array  # (P_max,) float32
+    num_pilots: jax.Array  # () int32
+
+
+def num_pilots_for(num_symbols: int, num_subcarriers: int, density) -> jax.Array:
+    """int(total · density) — reference channel_simulator.py:223-224."""
+    total = num_symbols * num_subcarriers
+    return jnp.floor(total * jnp.asarray(density, jnp.float32)).astype(jnp.int32)
+
+
+def scattered_pattern(
+    key, num_symbols: int, num_subcarriers: int, density, max_density: float = 0.15
+) -> PilotPattern:
+    """Random scattered pilots (reference parity, channel_simulator.py:227-236)."""
+    total = num_symbols * num_subcarriers
+    p_max = int(total * max_density)
+    n_pilots = num_pilots_for(num_symbols, num_subcarriers, density)
+
+    perm = jax.random.permutation(key, total)
+    slot_rank = jnp.arange(total, dtype=jnp.int32)
+    is_pilot_flat = jnp.zeros(total, jnp.float32).at[perm].set(
+        (slot_rank < n_pilots).astype(jnp.float32)
+    )
+    mask = is_pilot_flat.reshape(num_symbols, num_subcarriers)
+
+    lin = perm[:p_max]
+    positions = jnp.stack([lin // num_subcarriers, lin % num_subcarriers], axis=-1).astype(
+        jnp.int32
+    )
+    valid = (jnp.arange(p_max) < n_pilots).astype(jnp.float32)
+    return PilotPattern(mask, positions, valid, n_pilots)
+
+
+def comb_pattern(
+    key, num_symbols: int, num_subcarriers: int, density, max_density: float = 0.15
+) -> PilotPattern:
+    """Comb pilots: every ``round(1/density_per_symbol)``-th subcarrier on
+    every symbol, staggered by symbol index (standard LTE/NR CRS-like comb).
+    Defined so the realized density ≈ requested density.
+    """
+    total = num_symbols * num_subcarriers
+    p_max = int(total * max_density)
+    n_pilots = num_pilots_for(num_symbols, num_subcarriers, density)
+    per_sym = jnp.maximum(n_pilots // num_symbols, 1)
+    step = jnp.maximum(num_subcarriers // per_sym, 1)
+
+    s_idx = jnp.arange(num_symbols)[:, None]
+    k_idx = jnp.arange(num_subcarriers)[None, :]
+    offset = (s_idx * (step // 2)) % jnp.maximum(step, 1)
+    mask = (((k_idx - offset) % step) == 0).astype(jnp.float32)
+
+    flat_idx = jnp.argsort(-mask.reshape(-1), stable=True)[:p_max].astype(jnp.int32)
+    count = jnp.sum(mask).astype(jnp.int32)
+    positions = jnp.stack(
+        [flat_idx // num_subcarriers, flat_idx % num_subcarriers], axis=-1
+    )
+    valid = (jnp.arange(p_max) < jnp.minimum(count, p_max)).astype(jnp.float32)
+    # Zero mask entries beyond P_max capacity (keeps contract consistent).
+    return PilotPattern(mask, positions, valid, jnp.minimum(count, p_max))
+
+
+def block_pattern(
+    key, num_symbols: int, num_subcarriers: int, density, max_density: float = 0.15
+) -> PilotPattern:
+    """Block pilots: whole pilot symbols spread uniformly in time."""
+    total = num_symbols * num_subcarriers
+    p_max = int(total * max_density)
+    n_pilots = num_pilots_for(num_symbols, num_subcarriers, density)
+    n_sym_pilot = jnp.clip(
+        jnp.round(n_pilots / num_subcarriers).astype(jnp.int32), 1, num_symbols
+    )
+    # Uniformly spaced pilot symbol indices.
+    s_idx = jnp.arange(num_symbols)
+    stride = num_symbols / jnp.maximum(n_sym_pilot, 1)
+    chosen = jnp.floor(jnp.arange(num_symbols) * 1.0 / jnp.maximum(stride, 1e-9)).astype(
+        jnp.int32
+    )
+    is_pilot_sym = jnp.zeros(num_symbols, jnp.float32)
+    sel = jnp.round(jnp.arange(num_symbols) * stride).astype(jnp.int32)
+    take = (jnp.arange(num_symbols) < n_sym_pilot).astype(jnp.float32)
+    is_pilot_sym = is_pilot_sym.at[jnp.clip(sel, 0, num_symbols - 1)].max(take)
+    mask = jnp.broadcast_to(is_pilot_sym[:, None], (num_symbols, num_subcarriers))
+
+    flat_idx = jnp.argsort(-mask.reshape(-1), stable=True)[:p_max].astype(jnp.int32)
+    count = jnp.minimum(jnp.sum(mask).astype(jnp.int32), p_max)
+    positions = jnp.stack(
+        [flat_idx // num_subcarriers, flat_idx % num_subcarriers], axis=-1
+    )
+    valid = (jnp.arange(p_max) < count).astype(jnp.float32)
+    return PilotPattern(mask.astype(jnp.float32), positions, valid, count)
+
+
+_PATTERNS = {
+    "scattered": scattered_pattern,
+    "comb": comb_pattern,
+    "block": block_pattern,
+}
+
+
+def make_pattern(
+    key,
+    num_symbols: int,
+    num_subcarriers: int,
+    density,
+    pattern: str = "scattered",
+    max_density: float = 0.15,
+) -> PilotPattern:
+    try:
+        fn = _PATTERNS[pattern]
+    except KeyError:
+        raise ValueError(f"Unknown pilot pattern: {pattern!r}") from None
+    return fn(key, num_symbols, num_subcarriers, density, max_density)

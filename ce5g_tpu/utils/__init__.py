@@ -1,0 +1,32 @@
+from .complexify import complex_to_real, real_to_complex
+from .metrics import (
+    ber_approximation,
+    calculate_ber,
+    db2linear,
+    evaluate_estimator,
+    linear2db,
+    mse,
+    nmse,
+    nmse_db,
+)
+from .qam import bits_per_symbol, qam_demodulate, qam_modulate
+from .rng import base_key, sample_key, split_key
+
+__all__ = [
+    "complex_to_real",
+    "real_to_complex",
+    "ber_approximation",
+    "calculate_ber",
+    "db2linear",
+    "evaluate_estimator",
+    "linear2db",
+    "mse",
+    "nmse",
+    "nmse_db",
+    "bits_per_symbol",
+    "qam_demodulate",
+    "qam_modulate",
+    "base_key",
+    "sample_key",
+    "split_key",
+]
