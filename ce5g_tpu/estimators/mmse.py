@@ -1,0 +1,214 @@
+"""MMSE channel estimation, batched — two modes.
+
+1. ``mmse_diag`` — behavioral parity with the reference
+   (src/baseline_estimators.py:155-196): with ``estimate_statistics=True``
+   the reference builds R_h = I·mean|h_ls|² and computes
+   R_h(R_h+σ²I)⁻¹ h_ls via a dense num_pilots×num_pilots inverse (an
+   ≈839×839 ``np.linalg.inv`` — the 588 ms/frame cost in BASELINE.md).
+   With a scaled-identity covariance that matrix product is *exactly* the
+   scalar Wiener shrinkage p/(p+σ²)·h_ls, so we compute the scalar — same
+   output, O(P) instead of O(P³) — then interpolate like LS.
+
+2. ``mmse_full`` — the "done-right" per-subcarrier Wiener filter with true
+   channel-correlation priors (north-star requirement; the reference's
+   ``estimate_covariance`` path is dead code, baseline_estimators.py:137-153).
+   The prior follows from the simulator's exact second-order statistics:
+
+       E[H(s1,k1) H*(s2,k2)] = R_t[s1,s2] · R_f[k1,k2]
+       R_t[Δs] = J0(2π·fd·Δs·T_sym)      (Jakes temporal correlation)
+       R_f[k1,k2] = Σ_p w_p F[p,k1]F*[p,k2],  w_p = ½·amp_p²  (PDP)
+
+   TPU-first key idea: R_f has rank ≤ 9 (paths) and R_t = UΛUᵀ has rank
+   ≤ 14 (symbols), so the pilot covariance is a rank-r ≤ 126 Gram matrix
+   Φ Φᴴ with Φ[i,(p,m)] = √(w_p λ_m)·F[p,k_i]·U[s_i,m]. The Wiener solve
+   (T·R_pp + σ²I)⁻¹ h then collapses via the Woodbury identity to an
+   r×r solve plus thin matmuls — O(P·r² + r³) ≈ 15 MFLOP instead of the
+   reference's O(P³) ≈ 2 GFLOP — and the grid reconstruction is three
+   small matmuls (S×S)(S×9)(9×K). Exact, no approximation.
+
+   The T· factor: every call-site transmits the same grid on all T TX
+   antennas (SURVEY §2.2), so the observed pilot "channel" is the
+   superposition Σ_t H_t with covariance T·R; the cross-covariance of a
+   single antenna's channel with the observation is R. ``mmse_full``
+   estimates the per-antenna channel optimally under that superposition.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .interpolate import InterpWeights, apply_interp, interp_weights
+from .ls import ls_at_pilots
+
+_EPS = 1e-12
+
+
+def bessel_j0(x):
+    """J0 via the Abramowitz & Stegun 9.4.1 / 9.4.3 rational approximations
+    (|err| < 1e-7); branch-free with jnp.where, valid for all real x."""
+    x = jnp.abs(jnp.asarray(x, jnp.float32))
+    # |x| <= 3
+    t = (x / 3.0) ** 2
+    small = (
+        1.0
+        + t * (-2.2499997 + t * (1.2656208 + t * (-0.3163866
+        + t * (0.0444479 + t * (-0.0039444 + t * 0.0002100)))))
+    )
+    # |x| > 3
+    xs = jnp.maximum(x, 3.0)
+    u = 3.0 / xs
+    f0 = (
+        0.79788456
+        + u * (-0.00000077 + u * (-0.00552740 + u * (-0.00009512
+        + u * (0.00137237 + u * (-0.00072805 + u * 0.00014476)))))
+    )
+    th0 = (
+        xs - 0.78539816
+        + u * (-0.04166397 + u * (-0.00003954 + u * (0.00262573
+        + u * (-0.00054125 + u * (-0.00029333 + u * 0.00013558)))))
+    )
+    large = f0 * jnp.cos(th0) / jnp.sqrt(xs)
+    return jnp.where(x <= 3.0, small, large)
+
+
+def mmse_diag_at_pilots(h_ls, valid, snr_db):
+    """Scalar-Wiener shrinkage ≡ reference diagonal MMSE
+    (baseline_estimators.py:177-194): p = mean|h_ls|², σ² = 1/SNR_lin,
+    h = p/(p+σ²)·h_ls."""
+    n = jnp.maximum(jnp.sum(valid), 1.0)
+    p = jnp.sum(jnp.abs(h_ls) ** 2 * valid, axis=-1, keepdims=True) / n
+    sigma2 = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
+    return h_ls * (p / (p + sigma2))
+
+
+def mmse_diag_estimate(
+    rx_symbols,
+    tx_grid,
+    positions,
+    valid,
+    grid_shape: Tuple[int, int],
+    num_tx: int,
+    snr_db,
+    method: str = "linear",
+    weights: InterpWeights | None = None,
+):
+    """Reference-parity MMSE: LS → scalar shrink → interpolate
+    (baseline_estimators.py:232-270). Returns (S, R, T, K) complex64."""
+    rx_grids = jnp.moveaxis(rx_symbols, 1, 0)  # (R, S, K)
+    h_ls = ls_at_pilots(rx_grids, tx_grid, positions, valid)  # (R, P)
+    h_mmse = mmse_diag_at_pilots(h_ls, valid, snr_db)
+    if weights is None:
+        weights = interp_weights(positions, valid, grid_shape, method)
+    h_full = jnp.moveaxis(apply_interp(weights, h_mmse, grid_shape), 1, 0)
+    s, k = grid_shape
+    return jnp.broadcast_to(
+        h_full[:, :, None, :], (s, h_full.shape[1], num_tx, k)
+    ).astype(jnp.complex64)
+
+
+class WienerPrior(NamedTuple):
+    """Per-frame second-order prior pieces."""
+
+    phi: jax.Array  # (P, r) complex — low-rank pilot factor (weights folded in)
+    u_scaled: jax.Array  # (S, r_t) real — U·√λ time eigenbasis
+    f_mat: jax.Array  # (n_paths, K) complex — delay→bin matrix for profile
+    w_path: jax.Array  # (n_paths,) path powers (½·amp²)
+
+
+def build_wiener_prior(
+    freq_matrix,
+    amp,
+    doppler_hz,
+    symbol_duration: float,
+    num_symbols: int,
+    positions,
+    valid,
+) -> WienerPrior:
+    """Assemble the rank-r pilot factor Φ and reconstruction pieces."""
+    n_paths = amp.shape[-1]
+    w_path = 0.5 * amp.astype(jnp.float32) ** 2  # Jakes E|h|²=½ (jakes.py)
+
+    ds = jnp.arange(num_symbols, dtype=jnp.float32)
+    rt = bessel_j0(2.0 * jnp.pi * doppler_hz * (ds[:, None] - ds[None, :]) * symbol_duration)
+    lam, u = jnp.linalg.eigh(rt)  # ascending
+    lam = jnp.maximum(lam, 0.0)
+    u_scaled = u * jnp.sqrt(lam)[None, :]  # (S, S)
+
+    sy, sc = positions[:, 0], positions[:, 1]
+    f_pil = freq_matrix[:, sc]  # (n_paths, P)
+    u_pil = u_scaled[sy]  # (P, S)
+    # Φ[i, (p,m)] = √w_p·F[p,k_i] · (U√λ)[s_i,m]
+    phi = (
+        (jnp.sqrt(w_path)[:, None] * f_pil).T[:, :, None] * u_pil[:, None, :]
+    )  # (P, n_paths, S)
+    phi = phi.reshape(phi.shape[0], -1) * valid[:, None]
+    return WienerPrior(phi, u_scaled, freq_matrix, w_path)
+
+
+def wiener_solve(prior: WienerPrior, h_pilots, sigma2, obs_scale):
+    """x = (obs_scale·ΦΦᴴ + σ²I)⁻¹ h via Woodbury; h: (..., P)."""
+    phi = prior.phi * jnp.sqrt(obs_scale)
+    r = phi.shape[1]
+    gram = phi.conj().T @ phi + sigma2 * jnp.eye(r, dtype=phi.dtype)  # (r,r)
+    ph = jnp.einsum("pr,...p->...r", phi.conj(), h_pilots)
+    sol = jnp.linalg.solve(gram, ph[..., None])[..., 0]
+    return (h_pilots - jnp.einsum("pr,...r->...p", phi, sol)) / sigma2
+
+
+def wiener_reconstruct(prior: WienerPrior, x, positions, grid_shape):
+    """Ĥ = R_grid,pilot · x as three small matmuls (see module docstring)."""
+    s, k = grid_shape
+    sy, sc = positions[:, 0], positions[:, 1]
+    xg = jnp.zeros(x.shape[:-1] + (s, k), x.dtype)
+    # scatter-add: multiple pilots never share an RE, add == set
+    xg = xg.at[..., sy, sc].add(x)
+    t1 = jnp.einsum("...sk,pk->...sp", xg, jnp.conj(prior.f_mat))  # (.., S, paths)
+    rt_full = prior.u_scaled @ prior.u_scaled.T  # (S,S) = R_t
+    t2 = jnp.einsum("zs,...sp->...zp", rt_full, t1)
+    t2 = t2 * prior.w_path[None, :]
+    return jnp.einsum("...zp,pk->...zk", t2, prior.f_mat)
+
+
+def mmse_full_estimate(
+    rx_symbols,
+    tx_grid,
+    positions,
+    valid,
+    grid_shape: Tuple[int, int],
+    num_tx: int,
+    snr_db,
+    freq_matrix,
+    amp,
+    doppler_hz,
+    symbol_duration: float,
+):
+    """Full per-subcarrier Wiener MMSE with channel-correlation priors.
+
+    Args mirror :func:`ls_estimate` plus the frame's channel prior inputs
+    (``freq_matrix``/``amp`` from the profile table row, Doppler, symbol
+    duration). Returns (S, R, T, K) complex64, identical along T (the
+    superposition observation cannot separate TX antennas — see module
+    docstring).
+    """
+    s, k = grid_shape
+    rx_grids = jnp.moveaxis(rx_symbols, 1, 0)  # (R, S, K)
+    h_p = ls_at_pilots(rx_grids, tx_grid, positions, valid)  # (R, P)
+
+    prior = build_wiener_prior(
+        freq_matrix, amp, doppler_hz, symbol_duration, s, positions, valid
+    )
+    # Noise variance of the LS pilot observations: the simulator draws AWGN
+    # at measured received power (mimo.py), so σ² = E|y|²/SNR with
+    # E|y|² = T·P_ch (unit-modulus symbols, independent per-antenna fading).
+    p_ch = jnp.sum(prior.w_path)
+    snr_lin = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
+    sigma2 = jnp.maximum(num_tx * p_ch / snr_lin, 1e-8).astype(jnp.float32)
+
+    x = wiener_solve(prior, h_p * valid, sigma2, obs_scale=float(num_tx))
+    h_full = wiener_reconstruct(prior, x, positions, (s, k))  # (R, S, K)
+    h_full = jnp.moveaxis(h_full, 1, 0)
+    return jnp.broadcast_to(
+        h_full[:, :, None, :], (s, h_full.shape[1], num_tx, k)
+    ).astype(jnp.complex64)
