@@ -1,0 +1,100 @@
+"""Dataset loading and batching for training.
+
+Parity surface: reference src/train.py:22-94 (ChannelDataset) and
+run_phase4_training.py:33-112 — loads generated npz splits, computes
+GLOBAL normalization stats once over the first antenna pair (std of the
+complex magnitude, run_phase4_training.py:62-71), and yields 5-channel
+grid batches. Host-side numpy slicing feeds jit-compiled steps; there is
+no torch DataLoader analog needed — batches are device_put as one array.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..models.inputs import MLBatch
+
+
+class ChannelDataset:
+    """In-memory dataset over a merged npz or manifest-described chunks."""
+
+    def __init__(self, path: str, normalize: bool = True):
+        p = Path(path)
+        if p.suffix == ".json":
+            manifest = json.loads(p.read_text())
+            parts = [np.load(p.parent / f, allow_pickle=False) for f in manifest["files"]]
+            self.arrays = {
+                k: np.concatenate([q[k] for q in parts], axis=0)
+                for k in parts[0].files
+            }
+        else:
+            with np.load(p, allow_pickle=False) as z:
+                self.arrays = {k: z[k] for k in z.files}
+        self.normalize = normalize
+        self.stats = self._compute_stats() if normalize else None
+
+    def _compute_stats(self) -> Dict[str, float]:
+        """Global magnitude-std stats over the first antenna pair
+        (reference run_phase4_training.py:62-71)."""
+        rx = self.arrays["rx_symbols"][:, :, 0, :]
+        hls = self.arrays["H_ls"][:, :, 0, 0, :]
+        ht = self.arrays["H_true"][:, :, 0, 0, :]
+        return {
+            "rx_std": float(np.std(np.abs(rx)) + 1e-8),
+            "hls_std": float(np.std(np.abs(hls)) + 1e-8),
+            "h_std": float(np.std(np.abs(ht)) + 1e-8),
+        }
+
+    def __len__(self) -> int:
+        return self.arrays["rx_symbols"].shape[0]
+
+    @property
+    def grid_shape(self) -> Tuple[int, int]:
+        _, s, _, k = self.arrays["rx_symbols"].shape
+        return s, k
+
+    def make_batch(self, idx: np.ndarray) -> MLBatch:
+        """Build a normalized 5-channel batch for the given sample indices."""
+        rx = self.arrays["rx_symbols"][idx][:, :, 0, :]
+        hls = self.arrays["H_ls"][idx][:, :, 0, 0, :]
+        ht = self.arrays["H_true"][idx][:, :, 0, 0, :]
+        mask = self.arrays["pilot_mask"][idx].astype(np.float32)
+        st = self.stats or {"rx_std": 1.0, "hls_std": 1.0, "h_std": 1.0}
+        inputs = np.stack(
+            [
+                rx.real / st["rx_std"],
+                rx.imag / st["rx_std"],
+                hls.real / st["hls_std"],
+                hls.imag / st["hls_std"],
+                mask,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        targets = np.stack(
+            [ht.real / st["h_std"], ht.imag / st["h_std"]], axis=-1
+        ).astype(np.float32)
+        return MLBatch(inputs, targets, mask, st)
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_remainder: bool = True,
+    ) -> Iterator[MLBatch]:
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        stop = (n // batch_size) * batch_size if drop_remainder else n
+        for i in range(0, stop, batch_size):
+            yield self.make_batch(order[i : i + batch_size])
+
+    def metadata_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        return {
+            k: self.arrays[k][idx]
+            for k in ("snr_db", "channel_type", "doppler_hz", "pilot_density")
+        }

@@ -1,0 +1,146 @@
+"""End-to-end L3+L4: dataset generation → verification → training →
+checkpoint round-trip. Small numerology for CPU speed."""
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from ce5g_tpu import (
+    ChannelConfig,
+    DatasetConfig,
+    ExperimentConfig,
+    MIMOConfig,
+    ModelConfig,
+    OFDMConfig,
+    PilotConfig,
+    SimulationConfig,
+    TrainingConfig,
+)
+from ce5g_tpu.data import DatasetGenerator, verify_dataset
+from ce5g_tpu.train import ChannelDataset, Trainer, load_checkpoint, save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    return ExperimentConfig(
+        ofdm=OFDMConfig(fft_size=64, cp_length=8, num_symbols=6, useful_subcarriers=40),
+        mimo=MIMOConfig(num_tx=2, num_rx=2),
+        channel=ChannelConfig(doppler_hz=(50.0,)),
+        pilots=PilotConfig(density=(0.1,), max_density=0.15),
+        simulation=SimulationConfig(snr_range_db=(10.0, 20.0)),
+        dataset=DatasetConfig(chunk_size=8),
+        model=ModelConfig(
+            cnn_hidden_channels=(8, 8),
+            lstm_hidden_size=8,
+            lstm_num_layers=1,
+        ),
+        training=TrainingConfig(
+            epochs=2,
+            batch_size=4,
+            mixed_precision=False,
+            save_freq=100,
+            early_stopping=False,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def data_dir(tiny_cfg, tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    gen = DatasetGenerator(tiny_cfg, str(d))
+    logs = []
+    gen.generate_split("train", 20, log=logs.append)
+    gen.generate_split("val", 8, log=logs.append)
+    return d
+
+
+class TestGeneration:
+    def test_manifest_and_chunks(self, data_dir):
+        manifest = json.loads((data_dir / "train_manifest.json").read_text())
+        assert manifest["completed"] == 20
+        assert len(manifest["files"]) == 3  # 8+8+4
+        assert manifest["samples_per_second"] > 0
+
+    def test_verify_passes(self, data_dir):
+        report = verify_dataset(str(data_dir / "train_manifest.json"))
+        assert report["passed"], report
+
+    def test_resume_skips_done(self, tiny_cfg, data_dir):
+        gen = DatasetGenerator(tiny_cfg, str(data_dir))
+        calls = []
+        gen.generate_split("train", 20, resume=True, log=calls.append)
+        assert calls == []  # nothing regenerated
+
+    def test_deterministic_regeneration(self, tiny_cfg, tmp_path_factory):
+        """Same seed → identical chunks (fold_in key determinism)."""
+        d1 = tmp_path_factory.mktemp("g1")
+        d2 = tmp_path_factory.mktemp("g2")
+        for d in (d1, d2):
+            DatasetGenerator(tiny_cfg, str(d)).generate_split(
+                "val", 8, log=lambda *_: None
+            )
+        with np.load(d1 / "val_chunk_00000.npz") as a, np.load(
+            d2 / "val_chunk_00000.npz"
+        ) as b:
+            np.testing.assert_allclose(a["H_true"], b["H_true"])
+            np.testing.assert_allclose(a["rx_symbols"], b["rx_symbols"])
+
+    def test_merge(self, tiny_cfg, data_dir):
+        gen = DatasetGenerator(tiny_cfg, str(data_dir))
+        out = gen.merge_split("train")
+        with np.load(out) as z:
+            assert z["rx_symbols"].shape[0] == 20
+            assert str(z["channel_type"][0]) in ("EPA", "EVA", "ETU")
+
+
+class TestTraining:
+    def test_cnn_trains_and_improves(self, tiny_cfg, data_dir, tmp_path):
+        train_ds = ChannelDataset(str(data_dir / "train_manifest.json"))
+        val_ds = ChannelDataset(str(data_dir / "val_manifest.json"))
+        trainer = Trainer(tiny_cfg, model_type="cnn", log=lambda *_: None)
+        result = trainer.train(train_ds, val_ds, epochs=2, model_dir=str(tmp_path))
+        assert result["epochs_run"] == 2
+        assert np.isfinite(result["best_val_loss"])
+        assert (tmp_path / "cnn_final" / "state.npz").exists()
+        assert (tmp_path / "cnn_history.json").exists()
+
+    def test_checkpoint_roundtrip(self, tiny_cfg, tmp_path):
+        from ce5g_tpu.models import get_model
+        import jax.numpy as jnp
+
+        m1 = get_model("cnn", tiny_cfg.model, seed=1)
+        save_checkpoint(tmp_path / "ck", m1, epoch=3, val_loss=0.5)
+        m2 = get_model("cnn", tiny_cfg.model, seed=2)
+        x = jnp.ones((1, 6, 39, 5))
+        assert not np.allclose(np.asarray(m1(x)), np.asarray(m2(x)))
+        meta = load_checkpoint(tmp_path / "ck", m2)
+        assert meta["epoch"] == 3
+        np.testing.assert_allclose(np.asarray(m1(x)), np.asarray(m2(x)), atol=1e-6)
+
+    def test_lstm_path(self, tiny_cfg, data_dir, tmp_path):
+        train_ds = ChannelDataset(str(data_dir / "train_manifest.json"))
+        val_ds = ChannelDataset(str(data_dir / "val_manifest.json"))
+        trainer = Trainer(tiny_cfg, model_type="lstm", log=lambda *_: None)
+        result = trainer.train(train_ds, val_ds, epochs=1, model_dir=str(tmp_path))
+        assert np.isfinite(result["best_val_loss"])
+
+
+class TestSchedules:
+    def test_lr_schedules(self, tiny_cfg):
+        from dataclasses import replace
+
+        from ce5g_tpu.train import lr_schedule_per_epoch
+
+        c = replace(
+            tiny_cfg, training=replace(tiny_cfg.training, epochs=100, lr_scheduler="cosine")
+        )
+        assert lr_schedule_per_epoch(c, 0) == pytest.approx(1e-3)
+        assert lr_schedule_per_epoch(c, 100) == pytest.approx(0.0, abs=1e-9)
+        c = replace(c, training=replace(c.training, lr_scheduler="step"))
+        assert lr_schedule_per_epoch(c, 29) == pytest.approx(1e-3)
+        assert lr_schedule_per_epoch(c, 30) == pytest.approx(1e-4)
+        c = replace(c, training=replace(c.training, lr_scheduler="warm_restarts"))
+        assert lr_schedule_per_epoch(c, 0) == pytest.approx(1e-3)
+        assert lr_schedule_per_epoch(c, 10) == pytest.approx(1e-3)  # restart
+        assert lr_schedule_per_epoch(c, 30) == pytest.approx(1e-3)  # 2nd restart
