@@ -7,7 +7,10 @@ solved in one batched ``jnp.linalg.solve`` (T ≤ 4 ⇒ tiny, fully fused).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def equalize_channel(rx_symbols, h_est, method: str = "zf", noise_var: float = 0.01):
@@ -32,6 +35,6 @@ def equalize_channel(rx_symbols, h_est, method: str = "zf", noise_var: float = 0
     h = jnp.moveaxis(h_est, -1, -3)  # (..., S, K, R, T)
     y = jnp.moveaxis(rx_symbols, -1, -2)[..., None]  # (..., S, K, R, 1)
     hh = jnp.conj(jnp.swapaxes(h, -1, -2))  # (..., S, K, T, R)
-    a = hh @ h + lam * jnp.eye(h.shape[-1], dtype=h.dtype)
-    x = jnp.linalg.solve(a, hh @ y)[..., 0]  # (..., S, K, T)
+    a = jnp.matmul(hh, h, precision=_HI) + lam * jnp.eye(h.shape[-1], dtype=h.dtype)
+    x = jnp.linalg.solve(a, jnp.matmul(hh, y, precision=_HI))[..., 0]
     return jnp.moveaxis(x, -1, -2).astype(jnp.complex64)  # (..., S, T, K)

@@ -43,6 +43,9 @@ from .interpolate import InterpWeights, apply_interp, interp_weights
 from .ls import ls_at_pilots
 
 _EPS = 1e-12
+# The Woodbury solve relies on exact cancellation (h - Phi sol)/sigma^2;
+# TPU bf16 matmuls destroy it (observed +5 dB NMSE) - pin f32 precision.
+_HI = jax.lax.Precision.HIGHEST
 
 
 def bessel_j0(x):
@@ -151,10 +154,12 @@ def wiener_solve(prior: WienerPrior, h_pilots, sigma2, obs_scale):
     """x = (obs_scale·ΦΦᴴ + σ²I)⁻¹ h via Woodbury; h: (..., P)."""
     phi = prior.phi * jnp.sqrt(obs_scale)
     r = phi.shape[1]
-    gram = phi.conj().T @ phi + sigma2 * jnp.eye(r, dtype=phi.dtype)  # (r,r)
-    ph = jnp.einsum("pr,...p->...r", phi.conj(), h_pilots)
+    gram = jnp.matmul(phi.conj().T, phi, precision=_HI) + sigma2 * jnp.eye(
+        r, dtype=phi.dtype
+    )
+    ph = jnp.einsum("pr,...p->...r", phi.conj(), h_pilots, precision=_HI)
     sol = jnp.linalg.solve(gram, ph[..., None])[..., 0]
-    return (h_pilots - jnp.einsum("pr,...r->...p", phi, sol)) / sigma2
+    return (h_pilots - jnp.einsum("pr,...r->...p", phi, sol, precision=_HI)) / sigma2
 
 
 def wiener_reconstruct(prior: WienerPrior, x, positions, grid_shape):
@@ -164,11 +169,11 @@ def wiener_reconstruct(prior: WienerPrior, x, positions, grid_shape):
     xg = jnp.zeros(x.shape[:-1] + (s, k), x.dtype)
     # scatter-add: multiple pilots never share an RE, add == set
     xg = xg.at[..., sy, sc].add(x)
-    t1 = jnp.einsum("...sk,pk->...sp", xg, jnp.conj(prior.f_mat))  # (.., S, paths)
-    rt_full = prior.u_scaled @ prior.u_scaled.T  # (S,S) = R_t
-    t2 = jnp.einsum("zs,...sp->...zp", rt_full, t1)
+    t1 = jnp.einsum("...sk,pk->...sp", xg, jnp.conj(prior.f_mat), precision=_HI)
+    rt_full = jnp.matmul(prior.u_scaled, prior.u_scaled.T, precision=_HI)  # R_t
+    t2 = jnp.einsum("zs,...sp->...zp", rt_full, t1, precision=_HI)
     t2 = t2 * prior.w_path[None, :]
-    return jnp.einsum("...zp,pk->...zk", t2, prior.f_mat)
+    return jnp.einsum("...zp,pk->...zk", t2, prior.f_mat, precision=_HI)
 
 
 def mmse_full_estimate(

@@ -1,0 +1,24 @@
+from .evaluate import ModelEvaluator, evaluate_baselines
+from .pilot_opt import PilotOptimizer
+from .report import (
+    generate_evaluation_report,
+    generate_final_report,
+    plot_comparison,
+    plot_snr_sweep,
+    plot_training_curves,
+)
+from .tuning import DEFAULT_CNN_SPACE, HyperparameterTuner, QuickDataset
+
+__all__ = [
+    "ModelEvaluator",
+    "evaluate_baselines",
+    "PilotOptimizer",
+    "generate_evaluation_report",
+    "generate_final_report",
+    "plot_comparison",
+    "plot_snr_sweep",
+    "plot_training_curves",
+    "DEFAULT_CNN_SPACE",
+    "HyperparameterTuner",
+    "QuickDataset",
+]

@@ -1,0 +1,183 @@
+"""Evaluation: baselines vs neural estimators on a test split.
+
+Parity surface: reference src/evaluate.py:35-235 and
+run_phase5_evaluation.py:71-386 —
+  * ``evaluate_baselines``: LS NMSE from the stored H_ls feature plus the
+    phase-5 *simplified* scalar MMSE α·H_ls with α = 1/(1+σ²)
+    (run_phase5_evaluation.py:246-253 — note this differs from the L2
+    MMSEEstimator; we keep both, and also evaluate the real estimators);
+  * ``evaluate_model``: checkpoint load → batched forward → denormalize →
+    NMSE/MSE/MAE + per-sample latency (block_until_ready instead of
+    cuda.synchronize);
+  * ``snr_sweep``: per-SNR NMSE for LS/MMSE/model + analytic BER proxy
+    (run_phase5_evaluation.py:57-68, 264-312).
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..models.factory import count_parameters, get_model
+from ..train.checkpoint import load_checkpoint
+from ..train.datasets import ChannelDataset
+from ..utils.metrics import ber_approximation, linear2db
+
+
+def _nmse_per_sample(h_true: np.ndarray, h_est: np.ndarray) -> np.ndarray:
+    axes = tuple(range(1, h_true.ndim))
+    err = np.mean(np.abs(h_true - h_est) ** 2, axis=axes)
+    pwr = np.mean(np.abs(h_true) ** 2, axis=axes)
+    return err / (pwr + 1e-12)
+
+
+def evaluate_baselines(ds: ChannelDataset, num_samples: Optional[int] = None) -> Dict:
+    """LS (stored) + simplified scalar MMSE (phase-5 parity)."""
+    n = min(num_samples or len(ds), len(ds))
+    h_true = ds.arrays["H_true"][:n]
+    h_ls = ds.arrays["H_ls"][:n]
+    snr_db = ds.arrays["snr_db"][:n].astype(np.float64)
+
+    ls_nmse = _nmse_per_sample(h_true, h_ls)
+
+    # phase-5 simplified MMSE: α = 1/(1+σ²), σ² = 1/SNR_lin  (:246-253)
+    sigma2 = 10 ** (-snr_db / 10)
+    alpha = (1.0 / (1.0 + sigma2)).reshape(-1, *([1] * (h_ls.ndim - 1)))
+    mmse_nmse = _nmse_per_sample(h_true, alpha * h_ls)
+
+    return {
+        "LS": {
+            "nmse": float(ls_nmse.mean()),
+            "nmse_db": float(10 * np.log10(ls_nmse.mean() + 1e-12)),
+        },
+        "MMSE": {
+            "nmse": float(mmse_nmse.mean()),
+            "nmse_db": float(10 * np.log10(mmse_nmse.mean() + 1e-12)),
+        },
+        "num_samples": n,
+        "per_sample": {"LS": ls_nmse.tolist(), "MMSE": mmse_nmse.tolist()},
+    }
+
+
+class ModelEvaluator:
+    """Loads checkpoints and evaluates models on a test dataset."""
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        model_dir: str,
+        results_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.model_dir = Path(model_dir)
+        self.results_dir = Path(results_dir or cfg.results_dir)
+        self.results_dir.mkdir(parents=True, exist_ok=True)
+
+    def load_model(self, model_type: str, checkpoint: str = "best"):
+        model = get_model(model_type, self.cfg.model, seed=self.cfg.seed)
+        meta = load_checkpoint(self.model_dir / f"{model_type}_{checkpoint}", model)
+        return model, meta
+
+    def evaluate_model(
+        self,
+        model_type: str,
+        ds: ChannelDataset,
+        num_samples: Optional[int] = None,
+        batch_size: int = 32,
+        checkpoint: str = "best",
+    ) -> Dict:
+        model, meta = self.load_model(model_type, checkpoint)
+        is_lstm = model_type == "lstm"
+
+        @jax.jit
+        def forward(x):
+            return model(x, train=False)
+
+        n = min(num_samples or len(ds), len(ds))
+        h_std = (ds.stats or {"h_std": 1.0})["h_std"]
+        nmses: List[float] = []
+        maes: List[float] = []
+        mses: List[float] = []
+        latency_ms: List[float] = []
+
+        for start in range(0, n, batch_size):
+            idx = np.arange(start, min(start + batch_size, n))
+            batch = ds.make_batch(idx)
+            if is_lstm:
+                from ..models.inputs import lstm_inputs
+
+                x, y = lstm_inputs(batch)
+            else:
+                x, y = batch.inputs, batch.targets
+            x = jnp.asarray(x)
+            t0 = time.perf_counter()
+            pred = jax.block_until_ready(forward(x))
+            dt = time.perf_counter() - t0
+            latency_ms.append(dt * 1000 / len(idx))
+            pred = np.asarray(pred, np.float64) * h_std
+            target = np.asarray(y, np.float64) * h_std
+            err = pred - target
+            axes = tuple(range(1, err.ndim))
+            sq = np.mean(err**2, axis=axes)
+            pwr = np.mean(target**2, axis=axes)
+            nmses.extend((sq / (pwr + 1e-12)).tolist())
+            mses.extend(sq.tolist())
+            maes.extend(np.mean(np.abs(err), axis=axes).tolist())
+
+        nmse = float(np.mean(nmses))
+        return {
+            "model": model_type,
+            "checkpoint_epoch": meta.get("epoch"),
+            "params": count_parameters(model),
+            "nmse": nmse,
+            "nmse_db": float(10 * np.log10(nmse + 1e-12)),
+            "mse": float(np.mean(mses)),
+            "mae": float(np.mean(maes)),
+            # first batch includes compile; report steady-state median
+            "latency_ms_per_sample": float(np.median(latency_ms[1:] or latency_ms)),
+            "num_samples": n,
+            "per_sample_nmse": nmses,
+        }
+
+    def snr_sweep(
+        self,
+        ds: ChannelDataset,
+        model_types: List[str],
+        num_samples: Optional[int] = None,
+    ) -> Dict:
+        """Per-SNR NMSE + BER proxy for baselines and models
+        (run_phase5_evaluation.py:264-312)."""
+        n = min(num_samples or len(ds), len(ds))
+        snr = ds.arrays["snr_db"][:n]
+        baselines = evaluate_baselines(ds, n)
+        results: Dict[str, Dict] = {}
+        per_method = {
+            "LS": np.asarray(baselines["per_sample"]["LS"]),
+            "MMSE": np.asarray(baselines["per_sample"]["MMSE"]),
+        }
+        for mt in model_types:
+            r = self.evaluate_model(mt, ds, n)
+            per_method[mt] = np.asarray(r["per_sample_nmse"])
+
+        for method, vals in per_method.items():
+            by_snr = {}
+            for s in sorted(set(snr.tolist())):
+                m = snr == s
+                mean_nmse = float(vals[m].mean())
+                by_snr[str(s)] = {
+                    "nmse_db": float(10 * np.log10(mean_nmse + 1e-12)),
+                    "ber": float(np.mean(np.asarray(ber_approximation(s, vals[m])))),
+                }
+            results[method] = by_snr
+        return results
+
+    def save_results(self, results: Dict, name: str = "evaluation_results.json"):
+        path = self.results_dir / name
+        path.write_text(json.dumps(results, indent=2, default=float))
+        return path

@@ -1,0 +1,155 @@
+"""Report and figure generation.
+
+Parity surface: reference src/evaluate.py:141-235 (comparison plots +
+JSON/text report), run_phase5_evaluation.py:314-386 (NMSE-vs-SNR plot +
+markdown report with improvement-vs-LS table) and
+run_phase10_final_report.py:28-391 (aggregate FINAL_REPORT.md + figures).
+Matplotlib is imported lazily so headless metric-only runs never pay for
+it.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_comparison(results: Dict[str, Dict], out_path: str):
+    """NMSE and latency bar charts (reference evaluate.py:141-187)."""
+    plt = _plt()
+    methods = list(results)
+    nmse_db = [results[m].get("nmse_db", float("nan")) for m in methods]
+    latency = [results[m].get("latency_ms_per_sample", 0.0) for m in methods]
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4.5))
+    axes[0].bar(methods, nmse_db)
+    axes[0].set_ylabel("NMSE (dB)")
+    axes[0].set_title("Channel estimation NMSE")
+    axes[0].grid(True, alpha=0.3)
+    axes[1].bar(methods, latency)
+    axes[1].set_ylabel("latency (ms/sample)")
+    axes[1].set_title("Inference latency")
+    axes[1].grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    import matplotlib.pyplot as plt2
+
+    plt2.close(fig)
+    return out_path
+
+
+def plot_snr_sweep(sweep: Dict[str, Dict], out_path: str):
+    """NMSE-vs-SNR line plot (reference run_phase5_evaluation.py:314-340)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for method, by_snr in sweep.items():
+        snrs = sorted(float(s) for s in by_snr)
+        vals = [by_snr[str(s)]["nmse_db"] for s in snrs]
+        ax.plot(snrs, vals, marker="o", label=method)
+    ax.set_xlabel("SNR (dB)")
+    ax.set_ylabel("NMSE (dB)")
+    ax.set_title("Channel estimation NMSE vs SNR")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    import matplotlib.pyplot as plt2
+
+    plt2.close(fig)
+    return out_path
+
+
+def plot_training_curves(histories: Dict[str, Dict], out_path: str):
+    """Train/val curves per model (reference run_phase10:97-160)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for name, h in histories.items():
+        ax.plot(h["train_loss"], label=f"{name} train")
+        ax.plot(h["val_loss"], "--", label=f"{name} val")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("loss")
+    ax.set_yscale("log")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    import matplotlib.pyplot as plt2
+
+    plt2.close(fig)
+    return out_path
+
+
+def generate_evaluation_report(
+    results: Dict[str, Dict], out_path: str, config_summary: Optional[Dict] = None
+) -> str:
+    """Markdown report with improvement-vs-LS table
+    (reference run_phase5_evaluation.py:342-386)."""
+    lines = [
+        "# Channel Estimation Evaluation Report",
+        "",
+        f"Generated: {time.strftime('%Y-%m-%d %H:%M:%S')}",
+        "",
+    ]
+    if config_summary:
+        lines += ["## Configuration", "", "```json",
+                  json.dumps(config_summary, indent=2), "```", ""]
+    lines += [
+        "## Results",
+        "",
+        "| Method | NMSE (dB) | MSE | Latency (ms) | Params |",
+        "|---|---|---|---|---|",
+    ]
+    ls_db = results.get("LS", {}).get("nmse_db")
+    for method, r in results.items():
+        lines.append(
+            f"| {method} | {r.get('nmse_db', float('nan')):.2f} "
+            f"| {r.get('mse', float('nan')):.3e} "
+            f"| {r.get('latency_ms_per_sample', 0.0):.3f} "
+            f"| {r.get('params', '—')} |"
+        )
+    if ls_db is not None:
+        lines += ["", "## Improvement vs LS", ""]
+        for method, r in results.items():
+            if method == "LS" or "nmse_db" not in r:
+                continue
+            lines.append(f"- **{method}**: {ls_db - r['nmse_db']:+.2f} dB vs LS")
+    text = "\n".join(lines) + "\n"
+    Path(out_path).write_text(text)
+    return text
+
+
+def generate_final_report(
+    results_dir: str,
+    out_name: str = "FINAL_REPORT.md",
+    extra_sections: Optional[Dict[str, str]] = None,
+) -> str:
+    """Aggregate every results JSON + history into one markdown report
+    (reference run_phase10_final_report.py:162-339)."""
+    rd = Path(results_dir)
+    lines = [
+        "# Final Report — TPU-native 5G Channel Estimation",
+        "",
+        f"Generated: {time.strftime('%Y-%m-%d %H:%M:%S')}",
+        "",
+    ]
+    for jf in sorted(rd.glob("*.json")):
+        try:
+            data = json.loads(jf.read_text())
+        except json.JSONDecodeError:
+            continue
+        lines += [f"## {jf.stem}", "", "```json",
+                  json.dumps(data, indent=2, default=str)[:4000], "```", ""]
+    for title, body in (extra_sections or {}).items():
+        lines += [f"## {title}", "", body, ""]
+    text = "\n".join(lines)
+    (rd / out_name).write_text(text)
+    return text

@@ -18,6 +18,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Simulation/estimation matmuls are tiny contractions (paths, antennas);
+# full-f32 precision costs nothing and avoids TPU bf16-matmul noise
+# corrupting the simulated channel or the Wiener cancellation.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def frequency_response(path_gains, freq_matrix):
     """Per-subcarrier channel from per-path gains.
@@ -31,8 +36,8 @@ def frequency_response(path_gains, freq_matrix):
         (..., S, R, T, K) complex64 channel frequency response.
     """
     if freq_matrix.ndim == 2:
-        return jnp.einsum("...srtp,pk->...srtk", path_gains, freq_matrix)
-    return jnp.einsum("...srtp,...pk->...srtk", path_gains, freq_matrix)
+        return jnp.einsum("...srtp,pk->...srtk", path_gains, freq_matrix, precision=_HI)
+    return jnp.einsum("...srtp,...pk->...srtk", path_gains, freq_matrix, precision=_HI)
 
 
 def apply_channel(key, tx_symbols, channel_response, snr_db):
@@ -47,7 +52,9 @@ def apply_channel(key, tx_symbols, channel_response, snr_db):
     Returns:
         (..., S, R, K) complex64 received symbols.
     """
-    received = jnp.einsum("...srtk,...stk->...srk", channel_response, tx_symbols)
+    received = jnp.einsum(
+        "...srtk,...stk->...srk", channel_response, tx_symbols, precision=_HI
+    )
 
     # Per-frame measured signal power (reference :337): mean over the frame's
     # own (S, R, K) axes so batched frames each get their own noise scale.
@@ -98,5 +105,5 @@ def time_domain_apply(tx_signal, dense_gains, delay_samples, path_valid):
     for p in range(num_paths):  # static tiny loop over ≤9 paths
         x_p = shifted(p)  # (..., T, N)
         g_p = dense_gains[..., :, :, p] * path_valid[p]  # (..., N, R, T)
-        y = y + jnp.einsum("...nrt,...tn->...rn", g_p, x_p)
+        y = y + jnp.einsum("...nrt,...tn->...rn", g_p, x_p, precision=_HI)
     return y

@@ -1,0 +1,75 @@
+"""Model training CLI.
+
+Parity surface: reference src/train.py main (:297-379),
+run_phase4_training.py (CNN) and run_phase6_advanced_training.py
+(LSTM/Hybrid/ResNet): --model/--epochs/--batch-size/--seed, best/final
+checkpoints, history JSON, post-training test evaluation.
+"""
+import argparse
+
+from _common import add_config_arg, load_cfg
+
+
+def main():
+    parser = add_config_arg(argparse.ArgumentParser(description=__doc__))
+    parser.add_argument(
+        "--model",
+        default="cnn",
+        choices=["cnn", "lstm", "hybrid", "resnet", "transformer"],
+    )
+    parser.add_argument("--data-dir", default="data")
+    parser.add_argument("--model-dir", default="models")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--shard", action="store_true", help="DP over local devices")
+    parser.add_argument("--evaluate", action="store_true", help="evaluate on test split")
+    args = parser.parse_args()
+
+    import dataclasses
+    from pathlib import Path
+
+    cfg = load_cfg(args)
+    tr = cfg.training
+    if args.epochs:
+        tr = dataclasses.replace(tr, epochs=args.epochs)
+    if args.batch_size:
+        tr = dataclasses.replace(tr, batch_size=args.batch_size)
+    cfg = dataclasses.replace(cfg, training=tr)
+    if args.seed is not None:
+        cfg = dataclasses.replace(cfg, seed=args.seed)
+
+    from ce5g_tpu.train import ChannelDataset, Trainer
+
+    def split_path(split):
+        d = Path(args.data_dir)
+        merged = d / f"{split}.npz"
+        return str(merged if merged.exists() else d / f"{split}_manifest.json")
+
+    train_ds = ChannelDataset(split_path("train"))
+    val_ds = ChannelDataset(split_path("val"))
+
+    mesh = None
+    if args.shard:
+        from ce5g_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+
+    trainer = Trainer(cfg, model_type=args.model, mesh=mesh)
+    result = trainer.train(train_ds, val_ds, model_dir=args.model_dir)
+    print(f"best val loss: {result['best_val_loss']:.6f} "
+          f"({result['epochs_run']} epochs)")
+
+    if args.evaluate:
+        from ce5g_tpu.eval import ModelEvaluator
+
+        test_ds = ChannelDataset(split_path("test"))
+        ev = ModelEvaluator(cfg, args.model_dir)
+        r = ev.evaluate_model(args.model, test_ds)
+        r.pop("per_sample_nmse", None)
+        print(r)
+        ev.save_results(r, f"{args.model}_test_results.json")
+
+
+if __name__ == "__main__":
+    main()
