@@ -7,6 +7,7 @@ from .mesh import (
     shard_model_state,
 )
 from .sharded import sharded_eval_stats_fn, sharded_generate_fn
+from .time_sharded import reference_time_domain_apply, sharded_time_domain_apply
 from .train_sharded import (
     make_sharded_train_state,
     make_sharded_train_step,
@@ -21,6 +22,8 @@ __all__ = [
     "shard_batch",
     "shard_model_state",
     "sharded_eval_stats_fn",
+    "reference_time_domain_apply",
+    "sharded_time_domain_apply",
     "sharded_generate_fn",
     "make_sharded_train_state",
     "make_sharded_train_step",
