@@ -98,11 +98,25 @@ def estimate_batch(
     estimator: str = "ls",
     method: str = "linear",
     table: Optional[ProfileTable] = None,
+    chunk_size: Optional[int] = None,
 ) -> jax.Array:
-    """vmap of :func:`estimate_frame` over a leading batch axis."""
+    """Batched :func:`estimate_frame` over a leading batch axis.
+
+    The k-NN interpolation used by 'ls'/'mmse' builds a transient
+    (grid × pilots) distance matrix (~40 MB/frame at 14×599 with 15%
+    max density); a full vmap over a large batch would materialize
+    batch × 40 MB at once, so those estimators default to chunked
+    ``lax.map`` (32 frames per chunk ≈ 1.3 GB transient). 'mmse_full'
+    (Woodbury, no distance matrix) defaults to a plain vmap.
+    """
     if table is None:
         table = table_for(cfg)
     fn = functools.partial(
         estimate_frame, cfg=cfg, estimator=estimator, method=method, table=table
     )
+    if chunk_size is None:
+        chunk_size = 32 if estimator in ("ls", "mmse") else 0
+    batch = jax.tree.leaves(frames)[0].shape[0]
+    if chunk_size and chunk_size < batch:
+        return jax.lax.map(fn, frames, batch_size=chunk_size)
     return jax.vmap(fn)(frames)

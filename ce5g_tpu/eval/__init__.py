@@ -1,3 +1,4 @@
+from .ber import ber_frame, ber_sweep, simulate_qam_frame
 from .evaluate import ModelEvaluator, evaluate_baselines
 from .pilot_opt import PilotOptimizer
 from .report import (
@@ -10,6 +11,9 @@ from .report import (
 from .tuning import DEFAULT_CNN_SPACE, HyperparameterTuner, QuickDataset
 
 __all__ = [
+    "ber_frame",
+    "ber_sweep",
+    "simulate_qam_frame",
     "ModelEvaluator",
     "evaluate_baselines",
     "PilotOptimizer",

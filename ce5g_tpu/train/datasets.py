@@ -18,21 +18,28 @@ import numpy as np
 from ..models.inputs import MLBatch
 
 
+def _load_file(p: Path) -> Dict[str, np.ndarray]:
+    if p.suffix == ".h5":
+        from ..data.generator import _read_h5
+
+        return _read_h5(p)
+    with np.load(p, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
 class ChannelDataset:
-    """In-memory dataset over a merged npz or manifest-described chunks."""
+    """In-memory dataset over a merged npz/h5 or manifest-described chunks."""
 
     def __init__(self, path: str, normalize: bool = True):
         p = Path(path)
         if p.suffix == ".json":
             manifest = json.loads(p.read_text())
-            parts = [np.load(p.parent / f, allow_pickle=False) for f in manifest["files"]]
+            parts = [_load_file(p.parent / f) for f in manifest["files"]]
             self.arrays = {
-                k: np.concatenate([q[k] for q in parts], axis=0)
-                for k in parts[0].files
+                k: np.concatenate([q[k] for q in parts], axis=0) for k in parts[0]
             }
         else:
-            with np.load(p, allow_pickle=False) as z:
-                self.arrays = {k: z[k] for k in z.files}
+            self.arrays = _load_file(p)
         self.normalize = normalize
         self.stats = self._compute_stats() if normalize else None
 

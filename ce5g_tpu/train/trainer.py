@@ -93,6 +93,7 @@ class Trainer:
         model_type: Optional[str] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         log=print,
+        tensorboard: bool = False,
     ):
         self.cfg = cfg
         self.model_type = model_type or cfg.model.type
@@ -117,6 +118,21 @@ class Trainer:
         self._step = self._build_step()
         self._eval_step = self._build_eval_step()
         self._scalar_log: List[Dict] = []
+        # Optional TensorBoard sink (reference src/train.py:124-125 uses
+        # torch SummaryWriter; gated import so the core has no torch dep).
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(str(Path(cfg.log_dir) / "tensorboard"))
+            except ImportError:
+                self.log("tensorboard unavailable; falling back to JSONL only")
+
+    def _log_scalar(self, tag: str, step: int, value: float):
+        self._scalar_log.append({"tag": tag, "step": step, "value": value})
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
 
     # ---------------------------------------------------------------- steps
     def _build_step(self):
@@ -188,9 +204,7 @@ class Trainer:
             total += float(loss)
             count += 1
             if count % 10 == 0:
-                self._scalar_log.append(
-                    {"tag": "train/batch_loss", "step": epoch * 10000 + count, "value": float(loss)}
-                )
+                self._log_scalar("train/batch_loss", epoch * 10000 + count, float(loss))
         return total / max(count, 1)
 
     def validate(self, dataset: ChannelDataset) -> float:
@@ -245,7 +259,7 @@ class Trainer:
                 ("val/loss", val_loss),
                 ("train/lr", lr),
             ):
-                self._scalar_log.append({"tag": tag, "step": epoch, "value": v})
+                self._log_scalar(tag, epoch, v)
             self.log(
                 f"epoch {epoch + 1}/{epochs}  train {train_loss:.6f}  "
                 f"val {val_loss:.6f}  lr {lr:.2e}  ({dt:.1f}s)"
@@ -291,6 +305,8 @@ class Trainer:
         (model_dir / f"{self.model_type}_scalars.jsonl").write_text(
             "\n".join(json.dumps(r) for r in self._scalar_log)
         )
+        if self._tb is not None:
+            self._tb.close()
         return {
             "best_val_loss": self.best_val_loss,
             "epochs_run": len(self.history["train_loss"]),

@@ -36,6 +36,8 @@ def main():
           f"SNR {args.snr} dB  pilots {args.density:.0%}")
     print("=" * 60)
 
+    import functools
+
     params = FrameParams(
         jnp.int32(PROFILE_INDEX[args.channel]),
         jnp.float32(args.doppler),
@@ -43,19 +45,21 @@ def main():
         jnp.float32(args.density),
     )
     t0 = time.time()
-    frame = simulate_frame(jax.random.key(cfg.seed), params, cfg=cfg, table=table)
+    sim = jax.jit(functools.partial(simulate_frame, cfg=cfg, table=table))
+    frame = sim(jax.random.key(cfg.seed), params)
     jax.block_until_ready(frame.rx_symbols)
-    print(f"simulated frame in {time.time() - t0:.2f}s "
+    print(f"simulated frame in {time.time() - t0:.2f}s incl. compile "
           f"(rx {frame.rx_symbols.shape}, H {frame.channel.shape})")
 
     results = {}
     for est, label in (("ls", "LS"), ("mmse", "MMSE (diag)"), ("mmse_full", "MMSE (Wiener)")):
         t0 = time.time()
-        h = jax.block_until_ready(
-            estimate_frame(frame, cfg=cfg, estimator=est, table=table)
+        fn = jax.jit(
+            functools.partial(estimate_frame, cfg=cfg, estimator=est, table=table)
         )
+        h = jax.block_until_ready(fn(frame))
         dt = time.time() - t0
-        m = evaluate_estimator(frame.channel, h)
+        m = jax.jit(evaluate_estimator)(frame.channel, h)
         results[label] = (h, m)
         print(f"{label:>14}: NMSE {float(m['nmse_db']):7.2f} dB   ({dt:.2f}s incl. compile)")
 
