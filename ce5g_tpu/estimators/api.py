@@ -102,20 +102,18 @@ def estimate_batch(
 ) -> jax.Array:
     """Batched :func:`estimate_frame` over a leading batch axis.
 
-    The k-NN interpolation used by 'ls'/'mmse' builds a transient
-    (grid × pilots) distance matrix (~40 MB/frame at 14×599 with 15%
-    max density); a full vmap over a large batch would materialize
-    batch × 40 MB at once, so those estimators default to chunked
-    ``lax.map`` (32 frames per chunk ≈ 1.3 GB transient). 'mmse_full'
-    (Woodbury, no distance matrix) defaults to a plain vmap.
+    Default is a plain vmap — sharding-friendly (the batch axis stays
+    shardable under GSPMD) and memory-safe since the windowed k-NN search
+    bounds the interpolation transient to (S·K × 128) ≈ 4 MB/frame.
+    ``chunk_size`` switches to ``lax.map`` chunking for very large
+    single-device batches (note: a scanned batch axis cannot stay sharded
+    — don't combine chunking with a mesh-sharded batch).
     """
     if table is None:
         table = table_for(cfg)
     fn = functools.partial(
         estimate_frame, cfg=cfg, estimator=estimator, method=method, table=table
     )
-    if chunk_size is None:
-        chunk_size = 32 if estimator in ("ls", "mmse") else 0
     batch = jax.tree.leaves(frames)[0].shape[0]
     if chunk_size and chunk_size < batch:
         return jax.lax.map(fn, frames, batch_size=chunk_size)

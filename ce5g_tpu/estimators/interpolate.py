@@ -35,6 +35,32 @@ class InterpWeights(NamedTuple):
     w: jax.Array  # (G, k) float32 — normalized weights
 
 
+# Candidate-window width for the windowed k-NN search. 128 consecutive
+# sc-sorted pilots cover ≥ ±45 subcarrier columns at 10% density (and the
+# whole frame below ~1.5%), far beyond any true k≤8 nearest neighbor's
+# |Δsc| (the symbol axis spans only 14), so the windowed search is exact.
+_CANDIDATES = 128
+
+
+def _weights_from_d2(d2, idx, method: str, k: int) -> InterpWeights:
+    if k == 1:
+        j = jnp.argmin(d2, axis=1)
+        take = jnp.take_along_axis(idx, j[:, None], axis=1)
+        return InterpWeights(take.astype(jnp.int32), jnp.ones_like(take, jnp.float32))
+    neg_d2, sel = jax.lax.top_k(-d2, k)  # (G,k)
+    d2k = -neg_d2
+    chosen = jnp.take_along_axis(idx, sel, axis=1)
+    if method == "linear":
+        w = 1.0 / (d2k + 1e-6)
+    else:  # cubic: Gaussian kernel, scale set by the k-th neighbor distance
+        sigma2 = jnp.maximum(d2k[:, -1:], 1e-6)
+        w = jnp.exp(-d2k / sigma2)
+    # Guard: padded-slot inf distances (fewer than k valid pilots) get 0.
+    w = jnp.where(jnp.isfinite(d2k), w, 0.0)
+    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+    return InterpWeights(chosen.astype(jnp.int32), w.astype(jnp.float32))
+
+
 def interp_weights(
     positions: jax.Array,
     valid: jax.Array,
@@ -42,6 +68,12 @@ def interp_weights(
     method: str = "linear",
 ) -> InterpWeights:
     """Compute k-nearest-pilot interpolation weights for a full grid.
+
+    TPU-first: instead of an all-pairs (grid × pilots) distance matrix
+    (O(G·P) ≈ 10M f32 per frame), pilots are sorted by subcarrier and each
+    grid column searches only the ``_CANDIDATES`` rank-nearest pilots —
+    exact for every realistic density (see _CANDIDATES note), ~10× less
+    compute and memory at 10-15% density.
 
     Args:
         positions: (P, 2) int32 padded pilot (symbol, subcarrier) coords.
@@ -54,31 +86,42 @@ def interp_weights(
     k = _METHOD_K[method]
     s, kk = grid_shape
     g = s * kk
+    p = positions.shape[0]
 
-    gs = (jnp.arange(g, dtype=jnp.float32) // kk)[:, None]  # (G,1) symbol coord
-    gk = (jnp.arange(g, dtype=jnp.float32) % kk)[:, None]  # (G,1) subcarrier
-    ps = positions[:, 0].astype(jnp.float32)[None, :]  # (1,P)
-    pk = positions[:, 1].astype(jnp.float32)[None, :]
+    ps = positions[:, 0].astype(jnp.float32)
+    pk = positions[:, 1].astype(jnp.float32)
 
-    d2 = (gs - ps) ** 2 + (gk - pk) ** 2  # (G,P)
-    d2 = jnp.where(valid[None, :] > 0, d2, jnp.inf)
+    if p <= _CANDIDATES:
+        # small pilot sets: all-pairs is already cheap and exact
+        gs = (jnp.arange(g, dtype=jnp.float32) // kk)[:, None]
+        gk = (jnp.arange(g, dtype=jnp.float32) % kk)[:, None]
+        d2 = (gs - ps[None, :]) ** 2 + (gk - pk[None, :]) ** 2
+        d2 = jnp.where(valid[None, :] > 0, d2, jnp.inf)
+        idx = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32), (g, p))
+        return _weights_from_d2(d2, idx, method, k)
 
-    if k == 1:
-        idx = jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
-        w = jnp.ones_like(idx, dtype=jnp.float32)
-        return InterpWeights(idx, w)
+    c = _CANDIDATES
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+    sort_key = jnp.where(valid > 0, pk, jnp.inf)
+    order = jnp.argsort(sort_key).astype(jnp.int32)  # (P,) valid first, by sc
+    sc_sorted = sort_key[order]
 
-    neg_d2, idx = jax.lax.top_k(-d2, k)  # (G,k) nearest-k distances
-    d2k = -neg_d2
-    if method == "linear":
-        w = 1.0 / (d2k + 1e-6)
-    else:  # cubic: Gaussian kernel, scale set by the k-th neighbor distance
-        sigma2 = jnp.maximum(d2k[:, -1:], 1e-6)
-        w = jnp.exp(-d2k / sigma2)
-    # Guard: padded-slot inf distances (fewer than k valid pilots) get 0.
-    w = jnp.where(jnp.isfinite(d2k), w, 0.0)
-    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
-    return InterpWeights(idx.astype(jnp.int32), w.astype(jnp.float32))
+    cols = jnp.arange(kk, dtype=jnp.float32)
+    pos_in_sorted = jnp.searchsorted(sc_sorted, cols)  # (K,)
+    start = jnp.clip(pos_in_sorted - c // 2, 0, jnp.maximum(n_valid - c, 0))
+    cand_sorted = start[:, None] + jnp.arange(c)[None, :]  # (K, C) sorted idx
+    cand = order[cand_sorted]  # (K, C) original slot ids
+
+    cand_sy = ps[cand]  # (K, C)
+    cand_sc = pk[cand]
+    cand_ok = valid[cand] > 0
+
+    grid_sy = jnp.arange(s, dtype=jnp.float32)[:, None, None]  # (S,1,1)
+    d2 = (grid_sy - cand_sy[None]) ** 2 + (cols[None, :, None] - cand_sc[None]) ** 2
+    d2 = jnp.where(cand_ok[None], d2, jnp.inf)  # (S, K, C)
+    d2 = d2.reshape(g, c)
+    idx = jnp.broadcast_to(cand[None], (s, kk, c)).reshape(g, c)
+    return _weights_from_d2(d2, idx, method, k)
 
 
 def apply_interp(weights: InterpWeights, pilot_values: jax.Array, grid_shape):

@@ -1,4 +1,5 @@
 from .complexify import complex_to_real, real_to_complex
+from .host import get_numpy
 from .metrics import (
     ber_approximation,
     calculate_ber,
@@ -14,6 +15,7 @@ from .rng import base_key, sample_key, split_key
 
 __all__ = [
     "complex_to_real",
+    "get_numpy",
     "real_to_complex",
     "ber_approximation",
     "calculate_ber",

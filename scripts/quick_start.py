@@ -26,7 +26,7 @@ def main():
 
     from ce5g_tpu.estimators import estimate_frame
     from ce5g_tpu.physics import FrameParams, PROFILE_INDEX, simulate_frame, table_for
-    from ce5g_tpu.utils import evaluate_estimator
+    from ce5g_tpu.utils import evaluate_estimator, get_numpy
 
     cfg = load_cfg(args)
     table = table_for(cfg)
@@ -72,12 +72,13 @@ def main():
 
     out = Path(args.results_dir)
     out.mkdir(parents=True, exist_ok=True)
-    h_true = np.asarray(frame.channel)[:, 0, 0, :]
+    h_true = get_numpy(frame.channel)[:, 0, 0, :]
     fig, axes = plt.subplots(2, 3, figsize=(16, 7))
+    host_h = {label: get_numpy(h)[:, 0, 0, :] for label, (h, _) in results.items()}
     panels = [("True |H|", np.abs(h_true)), ("Pilot mask", np.asarray(frame.pilot_mask))]
-    for label, (h, _) in results.items():
-        panels.append((f"{label} |Ĥ|", np.abs(np.asarray(h)[:, 0, 0, :])))
-    panels.append(("LS error", np.abs(np.asarray(results["LS"][0])[:, 0, 0, :] - h_true)))
+    for label, hh in host_h.items():
+        panels.append((f"{label} |Ĥ|", np.abs(hh)))
+    panels.append(("LS error", np.abs(host_h["LS"] - h_true)))
     for ax, (title, img) in zip(axes.flat, panels):
         im = ax.imshow(img, aspect="auto", cmap="viridis")
         ax.set_title(title)
@@ -89,8 +90,8 @@ def main():
 
     fig2, ax = plt.subplots(figsize=(10, 4))
     ax.plot(np.abs(h_true[0]), label="|H| true (symbol 0)")
-    for label, (h, _) in results.items():
-        ax.plot(np.abs(np.asarray(h)[0, 0, 0, :]), alpha=0.7, label=label)
+    for label, hh in host_h.items():
+        ax.plot(np.abs(hh[0]), alpha=0.7, label=label)
     ax.set_xlabel("subcarrier")
     ax.set_ylabel("magnitude")
     ax.legend()

@@ -26,6 +26,7 @@ def main():
     import matplotlib.pyplot as plt
     import numpy as np
 
+    from ce5g_tpu.utils import get_numpy
     from ce5g_tpu.physics import (
         FrameParams,
         PROFILE_INDEX,
@@ -39,6 +40,10 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
     table = table_for(cfg)
 
+    import functools
+
+    _sims = {}
+
     def frame_for(profile, doppler, c=cfg, t=table):
         p = FrameParams(
             jnp.int32(PROFILE_INDEX[profile]),
@@ -46,14 +51,17 @@ def main():
             jnp.float32(args.snr),
             jnp.float32(0.1),
         )
-        return simulate_frame(jax.random.key(cfg.seed), p, cfg=c, table=t)
+        key = id(c)
+        if key not in _sims:  # jit once per config (eager ops unsupported on axon)
+            _sims[key] = jax.jit(functools.partial(simulate_frame, cfg=c, table=t))
+        return _sims[key](jax.random.key(cfg.seed), p)
 
     # 1. per-model heatmaps (|H| over time-frequency)
     fig, axes = plt.subplots(1, 3, figsize=(16, 4))
     for ax, name in zip(axes, PROFILE_NAMES):
         f = frame_for(name, 100.0)
         im = ax.imshow(
-            np.abs(np.asarray(f.channel)[:, 0, 0, :]), aspect="auto", cmap="viridis"
+            np.abs(get_numpy(f.channel)[:, 0, 0, :]), aspect="auto", cmap="viridis"
         )
         ax.set_title(f"{name} |H| (100 Hz)")
         ax.set_xlabel("subcarrier")
@@ -68,7 +76,7 @@ def main():
     for ax, fd in zip(axes, cfg.channel.doppler_hz):
         f = frame_for("EVA", fd)
         im = ax.imshow(
-            np.abs(np.asarray(f.channel)[:, 0, 0, :]), aspect="auto", cmap="viridis"
+            np.abs(get_numpy(f.channel)[:, 0, 0, :]), aspect="auto", cmap="viridis"
         )
         ax.set_title(f"EVA {fd:.0f} Hz")
         ax.set_xlabel("subcarrier")
@@ -85,7 +93,7 @@ def main():
     fig, ax = plt.subplots(figsize=(8, 5))
     for fd in cfg.channel.doppler_hz:
         f = frame_for("EVA", fd, c=ext_cfg, t=ext_table)
-        h = np.asarray(f.channel)[:, 0, 0, :]  # (50, K)
+        h = get_numpy(f.channel)[:, 0, 0, :]  # (50, K)
         ac = []
         for lag in range(25):
             a = h[: 50 - lag]
