@@ -54,12 +54,16 @@ def main():
     print(f"compile+first run: {compile_s:.1f}s  nmse={10*jnp.log10(nmse):.2f} dB",
           file=sys.stderr)
 
-    # steady state: several timed iterations with fresh keys
+    # steady state: several timed iterations with FRESH keys per iteration
+    # (identical inputs can be relay-cached on the tunneled dev TPU) and a
+    # scalar VALUE fetch per iteration (block_until_ready alone has been
+    # observed not to block on that runtime).
     iters = 5
     t0 = time.time()
+    sink = 0.0
     for i in range(iters):
         keys = jax.random.split(jax.random.key(i + 1), batch)
-        jax.block_until_ready(fn(keys))
+        sink += float(fn(keys))
     dt = time.time() - t0
     frames_per_s = batch * iters / dt
     print(f"steady: {frames_per_s:.1f} frames/s ({dt/iters*1e3:.1f} ms/batch of {batch})",

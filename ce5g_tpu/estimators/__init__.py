@@ -8,6 +8,7 @@ from .interpolate import (
 )
 from .ls import ls_at_pilots, ls_estimate
 from .mmse import (
+    estimate_covariance,
     WienerPrior,
     bessel_j0,
     build_wiener_prior,
@@ -29,6 +30,7 @@ __all__ = [
     "WienerPrior",
     "bessel_j0",
     "build_wiener_prior",
+    "estimate_covariance",
     "mmse_diag_at_pilots",
     "mmse_diag_estimate",
     "mmse_full_estimate",

@@ -217,3 +217,13 @@ def mmse_full_estimate(
     return jnp.broadcast_to(
         h_full[:, :, None, :], (s, h_full.shape[1], num_tx, k)
     ).astype(jnp.complex64)
+
+
+def estimate_covariance(h_ls):
+    """Sample covariance of LS estimates (reference
+    baseline_estimators.py:137-153 — dead code there, provided for API
+    parity): flattens leading dims, returns (last_dim, last_dim)."""
+    h = h_ls.reshape(-1, h_ls.shape[-1])
+    hc = h - jnp.mean(h, axis=0, keepdims=True)
+    n = jnp.maximum(h.shape[0] - 1, 1)
+    return jnp.matmul(hc.T.conj(), hc, precision=_HI) / n

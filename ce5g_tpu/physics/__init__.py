@@ -8,7 +8,7 @@ from .profiles import (
 )
 from .jakes import dense_fading, jakes_gains_at_times, path_gains_symbol_sampled
 from .ofdm import demodulate, modulate
-from .pilots import PilotPattern, make_pattern
+from .pilots import PilotPattern, extract_pilots, insert_pilots, make_pattern
 from .mimo import apply_channel, frequency_response, time_domain_apply
 from .simulate import (
     Frame,
@@ -32,6 +32,8 @@ __all__ = [
     "demodulate",
     "modulate",
     "PilotPattern",
+    "extract_pilots",
+    "insert_pilots",
     "make_pattern",
     "apply_channel",
     "frequency_response",

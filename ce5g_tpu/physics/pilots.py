@@ -136,3 +136,17 @@ def make_pattern(
     except KeyError:
         raise ValueError(f"Unknown pilot pattern: {pattern!r}") from None
     return fn(key, num_symbols, num_subcarriers, density, max_density)
+
+
+def insert_pilots(pattern: PilotPattern, data_symbols, pilot_symbols):
+    """Fill a grid with pilots at mask positions and data elsewhere
+    (reference channel_simulator.py:238-252). Fixed-shape variant: both
+    inputs are full (S, K) grids; the mask selects between them."""
+    return jnp.where(pattern.mask > 0, pilot_symbols, data_symbols)
+
+
+def extract_pilots(pattern: PilotPattern, grid):
+    """Extract pilot values into padded slots (reference :254-256):
+    returns (P_max,) values in position order, zero at invalid slots."""
+    sy, sc = pattern.positions[:, 0], pattern.positions[:, 1]
+    return grid[..., sy, sc] * pattern.valid

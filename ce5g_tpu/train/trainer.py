@@ -312,3 +312,23 @@ class Trainer:
             "epochs_run": len(self.history["train_loss"]),
             "history": self.history,
         }
+
+
+def advanced_policy(cfg: ExperimentConfig, model_type: str) -> ExperimentConfig:
+    """Per-model optimizer policy of the reference's AdvancedTrainer
+    (run_phase6_advanced_training.py:138-160): LSTM → Adam at lr/2,
+    Hybrid → AdamW with wd 1e-4, others → Adam; all with
+    CosineAnnealingWarmRestarts(T_0=10, T_mult=2)."""
+    import dataclasses
+
+    tr = cfg.training
+    if model_type == "lstm":
+        tr = dataclasses.replace(
+            tr, optimizer="adam", learning_rate=tr.learning_rate / 2
+        )
+    elif model_type in ("hybrid", "cnn_lstm"):
+        tr = dataclasses.replace(tr, optimizer="adamw", weight_decay=1e-4)
+    else:
+        tr = dataclasses.replace(tr, optimizer="adam")
+    tr = dataclasses.replace(tr, lr_scheduler="warm_restarts")
+    return dataclasses.replace(cfg, training=tr)

@@ -1,6 +1,7 @@
 from .complexify import complex_to_real, real_to_complex
 from .host import get_numpy
 from .metrics import (
+    awgn_noise,
     ber_approximation,
     calculate_ber,
     db2linear,
@@ -17,6 +18,7 @@ __all__ = [
     "complex_to_real",
     "get_numpy",
     "real_to_complex",
+    "awgn_noise",
     "ber_approximation",
     "calculate_ber",
     "db2linear",

@@ -64,3 +64,16 @@ def calculate_ber(tx_bits, rx_bits):
     """Exact bit-error rate (reference: src/utils.py:156-158)."""
     tx_bits = jnp.asarray(tx_bits)
     return jnp.sum(tx_bits != jnp.asarray(rx_bits)) / tx_bits.size
+
+
+def awgn_noise(key, shape, snr_db, signal_power=1.0):
+    """Complex AWGN for a given SNR and signal power
+    (reference src/utils.py:49-68)."""
+    import jax
+
+    noise_power = signal_power / db2linear(snr_db)
+    std = jnp.sqrt(noise_power / 2.0)
+    kr, ki = jax.random.split(key)
+    return (
+        jax.random.normal(kr, shape) * std + 1j * jax.random.normal(ki, shape) * std
+    ).astype(jnp.complex64)

@@ -23,6 +23,10 @@ def main():
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--shard", action="store_true", help="DP over local devices")
+    parser.add_argument(
+        "--advanced", action="store_true",
+        help="phase-6 per-model optimizer policy (warm restarts etc.)",
+    )
     parser.add_argument("--evaluate", action="store_true", help="evaluate on test split")
     args = parser.parse_args()
 
@@ -39,7 +43,10 @@ def main():
     if args.seed is not None:
         cfg = dataclasses.replace(cfg, seed=args.seed)
 
-    from ce5g_tpu.train import ChannelDataset, Trainer
+    from ce5g_tpu.train import ChannelDataset, Trainer, advanced_policy
+
+    if args.advanced:
+        cfg = advanced_policy(cfg, args.model)
 
     def split_path(split):
         d = Path(args.data_dir)

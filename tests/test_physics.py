@@ -274,3 +274,32 @@ class TestSimulation:
         )
         # CP (8 samples) covers EPA max delay at this fs → near-exact match
         assert err < 2e-3
+
+
+class TestPilotHelpers:
+    def test_insert_extract_roundtrip(self):
+        from ce5g_tpu.physics import extract_pilots, insert_pilots
+
+        pat = make_pattern(jax.random.key(11), 14, 599, 0.1, "scattered")
+        pilots = jnp.exp(1j * jax.random.uniform(jax.random.key(12), (14, 599),
+                                                 maxval=2 * np.pi))
+        data = 2.0 * jnp.exp(1j * jax.random.uniform(jax.random.key(13), (14, 599),
+                                                     maxval=2 * np.pi))
+        grid = insert_pilots(pat, data, pilots)
+        # extracted pilots equal the pilot grid at pilot positions
+        got = extract_pilots(pat, grid)
+        sy, sc = np.asarray(pat.positions).T
+        want = np.asarray(pilots)[sy, sc] * np.asarray(pat.valid)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+        # non-pilot REs hold data
+        m = np.asarray(pat.mask) > 0
+        np.testing.assert_allclose(np.abs(np.asarray(grid)[~m]), 2.0, atol=1e-5)
+
+
+class TestAWGN:
+    def test_awgn_power(self):
+        from ce5g_tpu.utils import awgn_noise
+
+        n = awgn_noise(jax.random.key(0), (4000,), snr_db=10.0, signal_power=2.0)
+        # noise power = signal_power / SNR_lin = 0.2
+        assert abs(float(jnp.mean(jnp.abs(n) ** 2)) - 0.2) < 0.02
