@@ -1,11 +1,5 @@
 from .equalize import equalize_channel
-from .interpolate import (
-    InterpWeights,
-    apply_interp,
-    interp_weights,
-    interpolate,
-    normalized_conv_interpolate,
-)
+from .interpolate import interpolate, normalized_conv_interpolate
 from .ls import ls_at_pilots, ls_estimate
 from .mmse import (
     estimate_covariance,
@@ -20,9 +14,6 @@ from .api import estimate_frame, estimate_batch
 
 __all__ = [
     "equalize_channel",
-    "InterpWeights",
-    "apply_interp",
-    "interp_weights",
     "interpolate",
     "normalized_conv_interpolate",
     "ls_at_pilots",

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 from ..config import ExperimentConfig
 from ..physics.profiles import ProfileTable
 from ..physics.simulate import Frame, table_for
-from .interpolate import interp_weights
 from .ls import ls_estimate
 from .mmse import mmse_diag_estimate, mmse_full_estimate
 

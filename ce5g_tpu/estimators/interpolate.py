@@ -12,130 +12,83 @@ unportable to TPU, so (per SURVEY §7 "hard parts"):
   * 'linear'   — k=3 inverse-distance weighting (statistical parity with
     barycentric interpolation; NMSE-level equivalence is validated in
     tests, pointwise equality is not a goal).
-  * 'cubic'    — k=8 Gaussian-kernel weighting (smooth, wider support).
+  * 'cubic'    — windowed Gaussian-kernel weighting (smooth, wide support,
+    bandwidth tied to the nearest-pilot distance).
 
-Weights depend only on the pilot pattern — NOT on the antenna pair or the
-pilot values — so they are computed once per frame and reused across every
-(rx, tx) pair and every estimator (LS and MMSE), amortizing the distance
-computation the reference repeats per pair per estimator (4× griddata calls
-per frame per estimator in the 2×2 case).
+TPU-first design (two iterations of hardware feedback baked in):
+  1. windowed candidate search — pilots are sorted by subcarrier and each
+     grid column considers only the ``_CANDIDATES`` rank-nearest pilots
+     (exact: the symbol axis spans 14, so true neighbors are always inside
+     the window at any realistic density); this caps the distance tensor
+     at (S·K × 128) ≈ 4 MB/frame instead of O(S·K × P) ≈ 40 MB.
+  2. gather-free selection — ``jax.lax.top_k`` (per-row sort) and
+     per-gridpoint index gathers measured ~10× slower than the whole rest
+     of the pipeline on TPU. Selection is instead k passes of
+     (masked min → first-match mask → accumulate weight), all dense VPU
+     ops over the candidate axis, and values are applied by a single
+     weighted reduction over the candidate table (pilot values are
+     gathered once per frame into (K, C), never per grid point).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 _METHOD_K = {"nearest": 1, "linear": 3, "cubic": 8}
 
-
-class InterpWeights(NamedTuple):
-    idx: jax.Array  # (G, k) int32 — pilot-slot index of k nearest pilots
-    w: jax.Array  # (G, k) float32 — normalized weights
-
-
-# Candidate-window width for the windowed k-NN search. 128 consecutive
-# sc-sorted pilots cover ≥ ±45 subcarrier columns at 10% density (and the
-# whole frame below ~1.5%), far beyond any true k≤8 nearest neighbor's
-# |Δsc| (the symbol axis spans only 14), so the windowed search is exact.
+# 128 consecutive sc-sorted pilots cover ≥ ±45 subcarrier columns at 10%
+# density (and the whole frame below ~1.5%), far beyond any true k≤8
+# nearest neighbor's |Δsc|, so the windowed search is exact.
 _CANDIDATES = 128
 
 
-def _weights_from_d2(d2, idx, method: str, k: int) -> InterpWeights:
-    if k == 1:
-        j = jnp.argmin(d2, axis=1)
-        take = jnp.take_along_axis(idx, j[:, None], axis=1)
-        return InterpWeights(take.astype(jnp.int32), jnp.ones_like(take, jnp.float32))
-    neg_d2, sel = jax.lax.top_k(-d2, k)  # (G,k)
-    d2k = -neg_d2
-    chosen = jnp.take_along_axis(idx, sel, axis=1)
-    if method == "linear":
-        w = 1.0 / (d2k + 1e-6)
-    else:  # cubic: Gaussian kernel, scale set by the k-th neighbor distance
-        sigma2 = jnp.maximum(d2k[:, -1:], 1e-6)
-        w = jnp.exp(-d2k / sigma2)
-    # Guard: padded-slot inf distances (fewer than k valid pilots) get 0.
-    w = jnp.where(jnp.isfinite(d2k), w, 0.0)
-    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
-    return InterpWeights(chosen.astype(jnp.int32), w.astype(jnp.float32))
+def _selection_weights(d2, method: str):
+    """Dense per-candidate weights over the last axis (no sorts/gathers).
 
-
-def interp_weights(
-    positions: jax.Array,
-    valid: jax.Array,
-    grid_shape: Tuple[int, int],
-    method: str = "linear",
-) -> InterpWeights:
-    """Compute k-nearest-pilot interpolation weights for a full grid.
-
-    TPU-first: instead of an all-pairs (grid × pilots) distance matrix
-    (O(G·P) ≈ 10M f32 per frame), pilots are sorted by subcarrier and each
-    grid column searches only the ``_CANDIDATES`` rank-nearest pilots —
-    exact for every realistic density (see _CANDIDATES note), ~10× less
-    compute and memory at 10-15% density.
-
-    Args:
-        positions: (P, 2) int32 padded pilot (symbol, subcarrier) coords.
-        valid: (P,) float32 slot validity.
-        grid_shape: (S, K).
-        method: 'nearest' | 'linear' | 'cubic'.
+    nearest: first-match of the row minimum (exact argmin semantics).
+    linear:  k=3 masked-min passes, IDW 1/(d²+1e-6) weights.
+    cubic:   Gaussian kernel over all candidates, σ² = 4·(min d² + 1).
+    Rows with no finite candidate get all-zero weights.
     """
-    if method not in _METHOD_K:
+    if method == "nearest" or method == "linear":
+        k = _METHOD_K[method]
+        remaining = d2
+        w = jnp.zeros_like(d2)
+        for _ in range(k):
+            mn = jnp.min(remaining, axis=-1, keepdims=True)
+            match = (remaining <= mn) & jnp.isfinite(remaining)
+            first = match & (jnp.cumsum(match, axis=-1) == 1)
+            if method == "nearest":
+                w = w + first.astype(d2.dtype)
+            else:
+                w = w + first / (mn + 1e-6)
+            remaining = jnp.where(first, jnp.inf, remaining)
+    elif method == "cubic":
+        mn = jnp.min(d2, axis=-1, keepdims=True)
+        sigma2 = 4.0 * (jnp.where(jnp.isfinite(mn), mn, 0.0) + 1.0)
+        w = jnp.exp(-(d2 - jnp.where(jnp.isfinite(mn), mn, 0.0)) / sigma2)
+        w = jnp.where(jnp.isfinite(d2), w, 0.0)
+    else:
         raise ValueError(f"Unknown interpolation method: {method!r}")
-    k = _METHOD_K[method]
-    s, kk = grid_shape
-    g = s * kk
+    return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+
+
+def _candidate_table(positions, valid, num_subcarriers: int):
+    """Sorted-window candidate slots per grid column: (K, C) int32."""
     p = positions.shape[0]
-
-    ps = positions[:, 0].astype(jnp.float32)
+    c = min(_CANDIDATES, p)
     pk = positions[:, 1].astype(jnp.float32)
-
-    if p <= _CANDIDATES:
-        # small pilot sets: all-pairs is already cheap and exact
-        gs = (jnp.arange(g, dtype=jnp.float32) // kk)[:, None]
-        gk = (jnp.arange(g, dtype=jnp.float32) % kk)[:, None]
-        d2 = (gs - ps[None, :]) ** 2 + (gk - pk[None, :]) ** 2
-        d2 = jnp.where(valid[None, :] > 0, d2, jnp.inf)
-        idx = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32), (g, p))
-        return _weights_from_d2(d2, idx, method, k)
-
-    c = _CANDIDATES
     n_valid = jnp.sum(valid).astype(jnp.int32)
     sort_key = jnp.where(valid > 0, pk, jnp.inf)
-    order = jnp.argsort(sort_key).astype(jnp.int32)  # (P,) valid first, by sc
+    order = jnp.argsort(sort_key).astype(jnp.int32)  # valid first, by sc
     sc_sorted = sort_key[order]
-
-    cols = jnp.arange(kk, dtype=jnp.float32)
-    pos_in_sorted = jnp.searchsorted(sc_sorted, cols)  # (K,)
+    cols = jnp.arange(num_subcarriers, dtype=jnp.float32)
+    pos_in_sorted = jnp.searchsorted(sc_sorted, cols)
     start = jnp.clip(pos_in_sorted - c // 2, 0, jnp.maximum(n_valid - c, 0))
-    cand_sorted = start[:, None] + jnp.arange(c)[None, :]  # (K, C) sorted idx
-    cand = order[cand_sorted]  # (K, C) original slot ids
-
-    cand_sy = ps[cand]  # (K, C)
-    cand_sc = pk[cand]
-    cand_ok = valid[cand] > 0
-
-    grid_sy = jnp.arange(s, dtype=jnp.float32)[:, None, None]  # (S,1,1)
-    d2 = (grid_sy - cand_sy[None]) ** 2 + (cols[None, :, None] - cand_sc[None]) ** 2
-    d2 = jnp.where(cand_ok[None], d2, jnp.inf)  # (S, K, C)
-    d2 = d2.reshape(g, c)
-    idx = jnp.broadcast_to(cand[None], (s, kk, c)).reshape(g, c)
-    return _weights_from_d2(d2, idx, method, k)
-
-
-def apply_interp(weights: InterpWeights, pilot_values: jax.Array, grid_shape):
-    """Expand pilot values to the full grid.
-
-    Args:
-        pilot_values: (..., P) complex values per pilot slot.
-    Returns:
-        (..., S, K) complex grid.
-    """
-    s, kk = grid_shape
-    gathered = pilot_values[..., weights.idx]  # (..., G, k)
-    out = jnp.sum(gathered * weights.w, axis=-1)
-    return out.reshape(*pilot_values.shape[:-1], s, kk)
+    cand_sorted = start[:, None] + jnp.arange(c)[None, :]  # (K, C)
+    return order[cand_sorted]
 
 
 def interpolate(
@@ -145,9 +98,35 @@ def interpolate(
     grid_shape: Tuple[int, int],
     method: str = "linear",
 ):
-    """One-shot convenience: weights + apply."""
-    w = interp_weights(positions, valid, grid_shape, method)
-    return apply_interp(w, pilot_values, grid_shape)
+    """Expand pilot-slot values to the full grid.
+
+    Args:
+        pilot_values: (..., P) complex values per (padded) pilot slot.
+        positions: (P, 2) int32 pilot (symbol, subcarrier) coords.
+        valid: (P,) float32 slot validity.
+        grid_shape: (S, K).
+        method: 'nearest' | 'linear' | 'cubic'.
+
+    Returns:
+        (..., S, K) complex grid.
+    """
+    s, kk = grid_shape
+    cand = _candidate_table(positions, valid, kk)  # (K, C)
+    cand_sy = positions[:, 0].astype(jnp.float32)[cand]  # (K, C)
+    cand_sc = positions[:, 1].astype(jnp.float32)[cand]
+    cand_ok = valid[cand] > 0
+    v_cand = pilot_values[..., cand]  # (..., K, C) — one gather per frame
+
+    grid_sy = jnp.arange(s, dtype=jnp.float32)[:, None, None]
+    cols = jnp.arange(kk, dtype=jnp.float32)[None, :, None]
+    d2 = (grid_sy - cand_sy[None]) ** 2 + (cols - cand_sc[None]) ** 2
+    d2 = jnp.where(cand_ok[None], d2, jnp.inf)  # (S, K, C)
+
+    w = _selection_weights(d2, method)  # (S, K, C) real
+    return jnp.einsum(
+        "skc,...kc->...sk", w.astype(jnp.float32), v_cand,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def normalized_conv_interpolate(
@@ -172,7 +151,6 @@ def normalized_conv_interpolate(
         return k / k.sum()
 
     def blur_axis(x, kern, axis):
-        # separable conv along one axis via conv_general_dilated on 1D
         pad = (kern.shape[0] - 1) // 2
         moved = jnp.moveaxis(x, axis, -1)
         flat = moved.reshape(-1, 1, moved.shape[-1])

@@ -10,7 +10,7 @@ estimate is of the *superposition* channel Σ_tx H·x (SURVEY §2.2). We
 therefore compute one estimate per rx and broadcast over tx — bit-identical
 result, T× less work.
 
-Interpolation weights are shared across rx (and with MMSE) — see
+The interpolation's candidate selection is fused and gather-free — see
 interpolate.py.
 """
 from __future__ import annotations
@@ -20,7 +20,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .interpolate import InterpWeights, apply_interp, interp_weights
+from .interpolate import interpolate
 
 _EPS = 1e-12
 
@@ -52,7 +52,6 @@ def ls_estimate(
     grid_shape: Tuple[int, int],
     num_tx: int,
     method: str = "linear",
-    weights: InterpWeights | None = None,
 ):
     """Full LS estimation with interpolation (reference :83-117).
 
@@ -67,9 +66,7 @@ def ls_estimate(
     """
     rx_grids = jnp.moveaxis(rx_symbols, 1, 0)  # (R, S, K)
     h_p = ls_at_pilots(rx_grids, tx_grid, positions, valid)  # (R, P)
-    if weights is None:
-        weights = interp_weights(positions, valid, grid_shape, method)
-    h_full = apply_interp(weights, h_p, grid_shape)  # (R, S, K)
+    h_full = interpolate(h_p, positions, valid, grid_shape, method)  # (R, S, K)
     h_full = jnp.moveaxis(h_full, 1, 0)  # (S, R, K)
     return jnp.broadcast_to(
         h_full[:, :, None, :], (grid_shape[0], h_full.shape[1], num_tx, grid_shape[1])

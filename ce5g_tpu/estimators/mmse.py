@@ -39,7 +39,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .interpolate import InterpWeights, apply_interp, interp_weights
+from .interpolate import interpolate
 from .ls import ls_at_pilots
 
 _EPS = 1e-12
@@ -95,16 +95,15 @@ def mmse_diag_estimate(
     num_tx: int,
     snr_db,
     method: str = "linear",
-    weights: InterpWeights | None = None,
 ):
     """Reference-parity MMSE: LS → scalar shrink → interpolate
     (baseline_estimators.py:232-270). Returns (S, R, T, K) complex64."""
     rx_grids = jnp.moveaxis(rx_symbols, 1, 0)  # (R, S, K)
     h_ls = ls_at_pilots(rx_grids, tx_grid, positions, valid)  # (R, P)
     h_mmse = mmse_diag_at_pilots(h_ls, valid, snr_db)
-    if weights is None:
-        weights = interp_weights(positions, valid, grid_shape, method)
-    h_full = jnp.moveaxis(apply_interp(weights, h_mmse, grid_shape), 1, 0)
+    h_full = jnp.moveaxis(
+        interpolate(h_mmse, positions, valid, grid_shape, method), 1, 0
+    )
     s, k = grid_shape
     return jnp.broadcast_to(
         h_full[:, :, None, :], (s, h_full.shape[1], num_tx, k)

@@ -135,6 +135,14 @@ def make_pattern(
         fn = _PATTERNS[pattern]
     except KeyError:
         raise ValueError(f"Unknown pilot pattern: {pattern!r}") from None
+    # Pilot slots beyond P_max = total·max_density are silently dropped by
+    # the fixed-shape contract; reject concrete out-of-range densities at
+    # the API boundary (traced densities can't be checked here).
+    if isinstance(density, (int, float)) and density > max_density:
+        raise ValueError(
+            f"pilot density {density} exceeds max_density {max_density}; "
+            "raise max_density to keep the fixed-shape pilot slots exact"
+        )
     return fn(key, num_symbols, num_subcarriers, density, max_density)
 
 

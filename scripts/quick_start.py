@@ -29,6 +29,12 @@ def main():
     from ce5g_tpu.utils import evaluate_estimator, get_numpy
 
     cfg = load_cfg(args)
+    if args.density > cfg.pilots.max_density:
+        parser.error(
+            f"--density {args.density} exceeds pilots.max_density "
+            f"{cfg.pilots.max_density} (pilot slots beyond it are dropped); "
+            "raise max_density in the config"
+        )
     table = table_for(cfg)
     print("=" * 60)
     print("TPU-native 5G Channel Estimation — quick start")

@@ -17,8 +17,7 @@ from ce5g_tpu.estimators import (
     equalize_channel,
     estimate_batch,
     estimate_frame,
-    interp_weights,
-    apply_interp,
+    interpolate,
     ls_at_pilots,
     normalized_conv_interpolate,
 )
@@ -59,8 +58,7 @@ class TestInterpolation:
             + 1j * jax.random.normal(jax.random.key(2), (int(p.positions.shape[0]),))
         ) * p.valid
         for method in ("nearest", "linear"):
-            w = interp_weights(p.positions, p.valid, (14, 599), method)
-            grid = apply_interp(w, vals, (14, 599))
+            grid = interpolate(vals, p.positions, p.valid, (14, 599), method)
             pos = np.asarray(p.positions)[np.asarray(p.valid) > 0]
             got = np.asarray(grid)[pos[:, 0], pos[:, 1]]
             want = np.asarray(vals)[np.asarray(p.valid) > 0]
@@ -73,8 +71,7 @@ class TestInterpolation:
         p = make_pattern(jax.random.key(3), 14, 599, 0.05, "scattered")
         vals = jnp.where(p.valid > 0, 2.0 + 1.0j, 0.0)
         for method in ("nearest", "linear", "cubic"):
-            w = interp_weights(p.positions, p.valid, (14, 599), method)
-            grid = apply_interp(w, vals, (14, 599))
+            grid = interpolate(vals, p.positions, p.valid, (14, 599), method)
             np.testing.assert_allclose(np.asarray(grid), 2.0 + 1.0j, atol=1e-4)
 
     def test_normalized_conv_constant(self):

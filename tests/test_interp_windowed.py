@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ce5g_tpu.estimators.interpolate import interp_weights, apply_interp
+from ce5g_tpu.estimators.interpolate import interpolate
 from ce5g_tpu.physics import make_pattern
 
 
@@ -14,24 +14,57 @@ def test_windowed_matches_bruteforce(density, method):
     s, kk = 14, 599
     pat = make_pattern(jax.random.key(int(density * 1000)), s, kk, density,
                        "scattered", max_density=0.15)
-    w = interp_weights(pat.positions, pat.valid, (s, kk), method)
-
-    # brute-force numpy distances
     pos = np.asarray(pat.positions).astype(float)
     valid = np.asarray(pat.valid)
+    p = pos.shape[0]
+    rng = np.random.default_rng(3)
+    vals = (rng.normal(size=p) + 1j * rng.normal(size=p)) * valid
+    grid = np.asarray(
+        interpolate(jnp.asarray(vals, jnp.complex64), pat.positions, pat.valid,
+                    (s, kk), method)
+    )
+
+    # brute-force numpy: same selection semantics on all-pairs distances
     gs, gk = np.meshgrid(np.arange(s), np.arange(kk), indexing="ij")
     d2 = (gs.reshape(-1, 1) - pos[None, :, 0]) ** 2 + (
         gk.reshape(-1, 1) - pos[None, :, 1]
     ) ** 2
     d2[:, valid == 0] = np.inf
 
-    k = {"nearest": 1, "linear": 3, "cubic": 8}[method]
-    # compare the multiset of chosen distances (ties make indices ambiguous)
-    chosen_d2 = np.take_along_axis(d2, np.asarray(w.idx), axis=1)
-    best_d2 = np.sort(d2, axis=1)[:, :k]
-    np.testing.assert_allclose(
-        np.sort(chosen_d2, axis=1), best_d2, atol=1e-3
-    )
+    # Grid coords are integers → squared distances tie frequently, and the
+    # argmin tie-break order differs between numpy (pilot-slot order) and the
+    # windowed search (sc-sorted candidate order). Compare values only at
+    # tie-free grid points; ties must be a small minority.
+    d2_sorted = np.sort(d2, axis=1)
+    if method == "nearest":
+        ref = vals[np.argmin(d2, axis=1)]
+        tie_free = d2_sorted[:, 0] < d2_sorted[:, 1]
+    elif method == "linear":
+        k = 3
+        idx = np.argsort(d2, axis=1)[:, :k]
+        dk = np.take_along_axis(d2, idx, axis=1)
+        w = 1.0 / (dk + 1e-6)
+        w /= w.sum(axis=1, keepdims=True)
+        ref = (vals[idx] * w).sum(axis=1)
+        # any tie within or at the boundary of the k-set makes the chosen
+        # subset/order ambiguous
+        tie_free = (np.diff(d2_sorted[:, : k + 1], axis=1) > 0).all(axis=1)
+    else:  # cubic is a Gaussian *smoother* (statistical parity with
+        # scipy's cubic, not pointwise): verify it recovers a smooth field
+        # accurately rather than reproducing iid random pilot values.
+        field = lambda sy, sc: np.exp(1j * (0.004 * sc + 0.03 * sy))
+        sm_vals = jnp.asarray(
+            field(pos[:, 0], pos[:, 1]) * valid, jnp.complex64
+        )
+        sm_grid = np.asarray(
+            interpolate(sm_vals, pat.positions, pat.valid, (s, kk), "cubic")
+        )
+        true = field(*np.meshgrid(np.arange(s), np.arange(kk), indexing="ij"))
+        assert np.abs(sm_grid - true).mean() < 0.12
+        return
+    assert tie_free.mean() > 0.25
+    np.testing.assert_allclose(grid.reshape(-1)[tie_free], ref[tie_free],
+                               atol=2e-3)
 
 
 def test_windowed_interpolation_values():
@@ -42,8 +75,9 @@ def test_windowed_interpolation_values():
     field = lambda sy, sc: np.exp(1j * (0.004 * sc + 0.03 * sy))
     vals = jnp.asarray(field(pos[:, 0], pos[:, 1]) * np.asarray(pat.valid),
                        jnp.complex64)
-    w = interp_weights(pat.positions, pat.valid, (s, kk), "linear")
-    grid = np.asarray(apply_interp(w, vals, (s, kk)))
+    grid = np.asarray(
+        interpolate(vals, pat.positions, pat.valid, (s, kk), "linear")
+    )
     true = field(*np.meshgrid(np.arange(s), np.arange(kk), indexing="ij"))
     # smooth field → k-NN IDW is accurate away from edges
     err = np.abs(grid - true).mean()
