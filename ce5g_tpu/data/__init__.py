@@ -1,0 +1,21 @@
+"""Sharded dataset factory (TPU-native rebuild of reference
+src/dataset_generator.py, run_phase3_dataset_generation.py,
+run_phase3_robust.py and verify_phase3_datasets.py): whole chunks of
+frames are simulated + LS-estimated in one jit call, written as sharded
+chunk files with a JSON manifest, resumable from deterministic per-sample
+PRNG keys."""
+from .generator import (
+    DatasetGenerator,
+    draw_params,
+    generate_chunk_fn,
+    read_split,
+)
+from .verify import verify_dataset
+
+__all__ = [
+    "DatasetGenerator",
+    "draw_params",
+    "generate_chunk_fn",
+    "read_split",
+    "verify_dataset",
+]

@@ -1,0 +1,277 @@
+"""Dataset generation: batched simulation → LS feature → chunked files.
+
+Parity surface:
+  * per-sample random draw of (channel type × Doppler × SNR × pilot
+    density) from the config lists — reference dataset_generator.py:114-117;
+  * the LS estimate stored as the model input feature — reference
+    dataset_generator.py:66-81 (with the rx-replicated-over-tx quirk
+    handled inside estimators; SURVEY §2.2);
+  * chunked output + JSON progress checkpoint + --resume + merge —
+    reference run_phase3_robust.py:95-310;
+  * npz and HDF5 formats with channel_type strings — reference
+    dataset_generator.py:145-180.
+
+TPU-first design: the whole chunk is ONE jit call (`generate_chunk_fn`)
+vmapped over frames; per-sample keys are `fold_in(split_key, idx)`
+(utils/rng.py), so any chunk can be regenerated independently on any
+host/shard — the checkpoint is just a count, not RNG state. With a mesh,
+frames shard over the 'data' axis (zero-communication DP) and only the
+finished chunk is pulled to host.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..estimators.api import estimate_batch
+from ..physics.profiles import PROFILE_INDEX, PROFILE_NAMES
+from ..physics.simulate import FrameParams, simulate_batch, table_for
+from ..utils.host import get_numpy
+from ..utils.rng import split_key
+
+#: arrays stored per split (reference sample dict, dataset_generator.py:77-87)
+CHUNK_KEYS = (
+    "rx_symbols",
+    "tx_symbols",
+    "H_true",
+    "H_ls",
+    "pilot_mask",
+    "snr_db",
+    "doppler_hz",
+    "pilot_density",
+    "profile_idx",
+)
+
+
+def draw_params(keys, cfg: ExperimentConfig) -> FrameParams:
+    """Per-frame uniform draws from the config lists
+    (reference dataset_generator.py:114-117). `keys` is a batch of PRNG
+    keys; each frame draws independently, so the result is identical
+    however frames are sharded."""
+    profile_ids = jnp.asarray(
+        [PROFILE_INDEX[m] for m in cfg.channel.models], jnp.int32
+    )
+    dopplers = jnp.asarray(cfg.channel.doppler_hz, jnp.float32)
+    snrs = jnp.asarray(cfg.simulation.snr_range_db, jnp.float32)
+    densities = jnp.asarray(cfg.pilots.density, jnp.float32)
+
+    def draw_one(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return FrameParams(
+            profile_idx=profile_ids[jax.random.randint(k1, (), 0, len(profile_ids))],
+            doppler_hz=dopplers[jax.random.randint(k2, (), 0, len(dopplers))],
+            snr_db=snrs[jax.random.randint(k3, (), 0, len(snrs))],
+            pilot_density=densities[jax.random.randint(k4, (), 0, len(densities))],
+        )
+
+    return jax.vmap(draw_one)(keys)
+
+
+def generate_chunk_fn(cfg: ExperimentConfig, table=None) -> Callable:
+    """jit-compiled keys → chunk dict (one device round-trip per chunk)."""
+    if table is None:
+        table = table_for(cfg)
+
+    def chunk(keys):
+        kp = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+        ks = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+        params = draw_params(kp, cfg)
+        frames = simulate_batch(ks, params, cfg=cfg, table=table)
+        h_ls = estimate_batch(
+            frames,
+            cfg=cfg,
+            estimator="ls",
+            method=cfg.pilots.interpolation,
+            table=table,
+        )
+        return {
+            "rx_symbols": frames.rx_symbols,
+            "tx_symbols": frames.tx_symbols,
+            "H_true": frames.channel,
+            "H_ls": h_ls,
+            "pilot_mask": frames.pilot_mask,
+            "snr_db": params.snr_db,
+            "doppler_hz": params.doppler_hz,
+            "pilot_density": params.pilot_density,
+            "profile_idx": params.profile_idx,
+        }
+
+    return jax.jit(chunk)
+
+
+# ----------------------------------------------------------------- file I/O
+def _write_npz(path: Path, arrays: Dict[str, np.ndarray]) -> None:
+    np.savez_compressed(path, **arrays)
+
+
+def _write_h5(path: Path, arrays: Dict[str, np.ndarray]) -> None:
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        for k, v in arrays.items():
+            if v.dtype.kind == "U":  # channel_type → S10 (reference :171-176)
+                f.create_dataset(k, data=v.astype("S10"))
+            else:
+                f.create_dataset(k, data=v, compression="gzip")
+
+
+def _read_h5(path: Path) -> Dict[str, np.ndarray]:
+    import h5py
+
+    out = {}
+    with h5py.File(path, "r") as f:
+        for k in f:
+            v = f[k][()]
+            if v.dtype.kind == "S":
+                v = v.astype("U10")
+            out[k] = v
+    return out
+
+
+def read_chunk(path: Path) -> Dict[str, np.ndarray]:
+    p = Path(path)
+    if p.suffix == ".h5":
+        return _read_h5(p)
+    with np.load(p, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def read_split(path: str) -> Dict[str, np.ndarray]:
+    """Load a merged file or a manifest (concatenating its chunks)."""
+    p = Path(path)
+    if p.suffix == ".json":
+        manifest = json.loads(p.read_text())
+        parts = [read_chunk(p.parent / f) for f in manifest["files"]]
+        return {k: np.concatenate([q[k] for q in parts], axis=0) for k in parts[0]}
+    return read_chunk(p)
+
+
+# ---------------------------------------------------------------- generator
+class DatasetGenerator:
+    """Chunked, resumable, optionally mesh-sharded dataset factory."""
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        output_dir: str,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.cfg = cfg
+        self.out = Path(output_dir)
+        self.out.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh
+        self.table = table_for(cfg)
+        self._fn = generate_chunk_fn(cfg, self.table)
+        self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
+
+    # -- paths
+    def _chunk_path(self, split: str, chunk_idx: int) -> Path:
+        ext = "h5" if self.cfg.dataset.save_format == "h5" else "npz"
+        return self.out / f"{split}_chunk_{chunk_idx:05d}.{ext}"
+
+    def _manifest_path(self, split: str) -> Path:
+        return self.out / f"{split}_manifest.json"
+
+    # -- core
+    def _keys_for(self, split: str, idxs: np.ndarray):
+        sk = split_key(self.cfg.seed, split)
+        return jax.vmap(lambda i: jax.random.fold_in(sk, i))(jnp.asarray(idxs))
+
+    def _run_chunk(self, split: str, idxs: np.ndarray) -> Dict[str, np.ndarray]:
+        n = len(idxs)
+        pad = (-n) % self._n_data  # mesh sharding needs a divisible batch
+        keys = self._keys_for(split, np.concatenate([idxs, idxs[:1].repeat(pad)]) if pad else idxs)
+        if self.mesh is not None:
+            from ..parallel.mesh import data_sharding
+
+            keys = jax.device_put(keys, data_sharding(self.mesh))
+        out = get_numpy(self._fn(keys))
+        if pad:
+            out = {k: v[:n] for k, v in out.items()}
+        out["channel_type"] = np.asarray(PROFILE_NAMES, dtype="<U10")[
+            out.pop("profile_idx").astype(np.int64) % len(PROFILE_NAMES)
+        ]
+        return out
+
+    def generate_split(
+        self,
+        split: str,
+        num_samples: int,
+        resume: bool = False,
+        log=print,
+    ) -> Dict:
+        """Generate `num_samples` frames for `split` in chunk files.
+
+        Resumable: the manifest records completed chunks; per-sample keys
+        are pure functions of (seed, split, index), so restarting never
+        changes the data (reference run_phase3_robust.py:144-156 semantics
+        without RNG-state fragility)."""
+        chunk_size = self.cfg.dataset.chunk_size
+        mpath = self._manifest_path(split)
+        manifest = {
+            "split": split,
+            "total": num_samples,
+            "completed": 0,
+            "chunk_size": chunk_size,
+            "files": [],
+            "samples_per_second": 0.0,
+            "seed": self.cfg.seed,
+            "format": self.cfg.dataset.save_format,
+        }
+        if resume and mpath.exists():
+            prev = json.loads(mpath.read_text())
+            if prev.get("chunk_size") == chunk_size and prev.get("seed") == self.cfg.seed:
+                manifest.update(
+                    completed=min(prev["completed"], num_samples),
+                    files=prev["files"],
+                    samples_per_second=prev.get("samples_per_second", 0.0),
+                )
+        if manifest["completed"] >= num_samples:
+            manifest["total"] = num_samples
+            mpath.write_text(json.dumps(manifest, indent=2))
+            return manifest
+
+        t0 = time.perf_counter()
+        done_this_session = 0
+        start = manifest["completed"]
+        while start < num_samples:
+            end = min(start + chunk_size, num_samples)
+            idxs = np.arange(start, end)
+            arrays = self._run_chunk(split, idxs)
+            cpath = self._chunk_path(split, start // chunk_size)
+            if self.cfg.dataset.save_format == "h5":
+                _write_h5(cpath, arrays)
+            else:
+                _write_npz(cpath, arrays)
+            if cpath.name not in manifest["files"]:
+                manifest["files"].append(cpath.name)
+            done_this_session += len(idxs)
+            manifest["completed"] = end
+            elapsed = time.perf_counter() - t0
+            manifest["samples_per_second"] = done_this_session / max(elapsed, 1e-9)
+            mpath.write_text(json.dumps(manifest, indent=2))
+            log(
+                f"[{split}] {end}/{num_samples} "
+                f"({manifest['samples_per_second']:.1f} samples/s)"
+            )
+            start = end
+        return manifest
+
+    def merge_split(self, split: str) -> str:
+        """Concatenate chunk files into one `{split}.npz`/`.h5`
+        (reference run_phase3_robust.py:261-288)."""
+        arrays = read_split(str(self._manifest_path(split)))
+        ext = "h5" if self.cfg.dataset.save_format == "h5" else "npz"
+        out = self.out / f"{split}.{ext}"
+        if ext == "h5":
+            _write_h5(out, arrays)
+        else:
+            _write_npz(out, arrays)
+        return str(out)
