@@ -11,8 +11,10 @@ from .metrics import (
     nmse,
     nmse_db,
 )
+from .profiling import Stopwatch, annotate, trace
 from .qam import bits_per_symbol, qam_demodulate, qam_modulate
 from .rng import base_key, sample_key, split_key
+from .sanitize import assert_finite, debug_nans, finite_report
 
 __all__ = [
     "complex_to_real",
@@ -33,4 +35,10 @@ __all__ = [
     "base_key",
     "sample_key",
     "split_key",
+    "Stopwatch",
+    "annotate",
+    "trace",
+    "assert_finite",
+    "debug_nans",
+    "finite_report",
 ]
