@@ -44,30 +44,45 @@ def main():
         pwr = jnp.mean(jnp.abs(frames.channel) ** 2)
         return err / pwr  # NMSE: forces full pipeline materialization
 
-    fn = jax.jit(pipeline)
-    batch = 256
-    keys = jax.random.split(jax.random.key(0), batch)
+    # The tunneled dev TPU adds ~28 ms of dispatch+fetch latency to EVERY
+    # host round-trip (measured with a null jit), so per-call timing would
+    # benchmark the tunnel, not the chip. The pipeline therefore scans over
+    # `iters` fresh-key batches INSIDE one jit call (fresh keys defeat
+    # relay caching; the scan carry forces sequential full materialization)
+    # and the host fetches ONE scalar at the end.
+    batch, iters = 256, 8
+
+    @jax.jit
+    def many(keys2d):
+        def body(carry, ks):
+            return carry + pipeline(ks), None
+
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), keys2d)
+        return tot / keys2d.shape[0]
+
+    def keys_for(seed):
+        return jax.random.split(jax.random.key(seed), iters * batch).reshape(
+            iters, batch
+        )
 
     t0 = time.time()
-    nmse = float(jax.block_until_ready(fn(keys)))
+    nmse = float(many(keys_for(0)))
     compile_s = time.time() - t0
     print(f"compile+first run: {compile_s:.1f}s  nmse={10*jnp.log10(nmse):.2f} dB",
           file=sys.stderr)
 
-    # steady state: several timed iterations with FRESH keys per iteration
-    # (identical inputs can be relay-cached on the tunneled dev TPU) and a
-    # scalar VALUE fetch per iteration (block_until_ready alone has been
-    # observed not to block on that runtime).
-    iters = 5
+    reps = 3
     t0 = time.time()
     sink = 0.0
-    for i in range(iters):
-        keys = jax.random.split(jax.random.key(i + 1), batch)
-        sink += float(fn(keys))
+    for rep in range(reps):
+        sink += float(many(keys_for(rep + 1)))
     dt = time.time() - t0
-    frames_per_s = batch * iters / dt
-    print(f"steady: {frames_per_s:.1f} frames/s ({dt/iters*1e3:.1f} ms/batch of {batch})",
-          file=sys.stderr)
+    frames_per_s = batch * iters * reps / dt
+    print(
+        f"steady: {frames_per_s:.1f} frames/s "
+        f"({dt / (iters * reps) * 1e3:.1f} ms/batch of {batch})",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(
