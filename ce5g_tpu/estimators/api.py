@@ -77,8 +77,7 @@ def estimate_frame(
         return mmse_full_estimate(
             frame.rx_symbols,
             tx_grid,
-            frame.pilot_positions,
-            frame.pilot_valid,
+            frame.pilot_mask,
             grid_shape,
             num_tx,
             frame.params.snr_db,

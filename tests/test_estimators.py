@@ -216,6 +216,53 @@ class TestMMSE:
         x_dense = np.linalg.solve(r_pp + sigma2 * np.eye(p), np.asarray(h))
         np.testing.assert_allclose(np.asarray(x_wood), x_dense, atol=2e-3)
 
+    def test_grid_formulation_equals_pilot_formulation(self, cfg):
+        """mmse_full's gather-free masked-grid contraction must equal the
+        explicit Φ pilot-axis formulation (same math, reordered sums)."""
+        from ce5g_tpu.estimators.ls import ls_at_pilots
+        from ce5g_tpu.estimators.mmse import (
+            mmse_full_estimate,
+            wiener_reconstruct,
+        )
+
+        table = table_for(cfg)
+        frame = simulate_frame(jax.random.key(11), params(snr=10.0), cfg=cfg)
+        s, k = cfg.ofdm.num_symbols, cfg.ofdm.num_used_subcarriers
+        num_tx = cfg.mimo.num_tx
+        pi = PROFILE_INDEX["EVA"]
+        fm = jnp.asarray(table.freq_response)[pi]
+        amp = jnp.asarray(table.amp_overwrite)[pi]
+        dop = frame.params.doppler_hz
+        tsym = cfg.ofdm.symbol_duration
+
+        h_grid = mmse_full_estimate(
+            frame.rx_symbols, frame.tx_symbols[:, 0, :], frame.pilot_mask,
+            (s, k), num_tx, frame.params.snr_db, fm, amp, dop, tsym,
+        )
+
+        # explicit pilot-axis Φ path
+        rx_grids = jnp.moveaxis(frame.rx_symbols, 1, 0)
+        h_p = ls_at_pilots(
+            rx_grids, frame.tx_symbols[:, 0, :],
+            frame.pilot_positions, frame.pilot_valid,
+        )
+        prior = build_wiener_prior(
+            fm, amp, dop, tsym, s, frame.pilot_positions, frame.pilot_valid
+        )
+        p_ch = jnp.sum(prior.w_path)
+        sigma2 = jnp.maximum(
+            num_tx * p_ch / 10 ** (frame.params.snr_db / 10), 1e-8
+        )
+        x = wiener_solve(prior, h_p * frame.pilot_valid, sigma2, float(num_tx))
+        h_phi = jnp.moveaxis(
+            wiener_reconstruct(prior, x, frame.pilot_positions, (s, k)), 1, 0
+        )
+        scale = float(jnp.mean(jnp.abs(h_phi)))
+        np.testing.assert_allclose(
+            np.asarray(h_grid[:, :, 0, :]), np.asarray(h_phi),
+            atol=5e-3 * scale,
+        )
+
     def test_bessel_j0(self):
         from scipy.special import j0 as scipy_j0
 
