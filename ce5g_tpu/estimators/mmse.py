@@ -240,13 +240,16 @@ def mmse_full_estimate(
     sw = jnp.sqrt(w_path)  # (n_paths,)
     t_scale = float(num_tx)
 
-    # time prior factor V = U·√λ with R_t = J0(2π fd Δs T_sym)
+    # time prior factor V with V·Vᵀ = R_t = J0(2π fd Δs T_sym). The whole
+    # estimate depends on V only through V·Vᵀ (pilot-space covariance and
+    # reconstruction are both functions of R_t), so ANY factor works — a
+    # jittered Cholesky is ~3× cheaper than the eigh used by the explicit
+    # path (build_wiener_prior) and the 1e-5 ridge is ≪ σ².
     ds = jnp.arange(s, dtype=jnp.float32)
     rt = bessel_j0(
         2.0 * jnp.pi * doppler_hz * (ds[:, None] - ds[None, :]) * symbol_duration
     )
-    lam, u = jnp.linalg.eigh(rt)
-    v = u * jnp.sqrt(jnp.maximum(lam, 0.0))[None, :]  # (S, S)
+    v = jnp.linalg.cholesky(rt + 1e-5 * jnp.eye(s))  # (S, S)
 
     f = freq_matrix  # (n_paths, K) complex
     fc = jnp.conj(f)

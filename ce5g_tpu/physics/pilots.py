@@ -42,17 +42,37 @@ def scattered_pattern(
     p_max = int(total * max_density)
     n_pilots = num_pilots_for(num_symbols, num_subcarriers, density)
 
-    perm = jax.random.permutation(key, total)
-    slot_rank = jnp.arange(total, dtype=jnp.int32)
-    is_pilot_flat = jnp.zeros(total, jnp.float32).at[perm].set(
-        (slot_rank < n_pilots).astype(jnp.float32)
-    )
-    mask = is_pilot_flat.reshape(num_symbols, num_subcarriers)
+    # Exact-size uniform subset WITHOUT a full 8k-element sort (the
+    # reference shuffles all REs and keeps the first n; a permutation is
+    # an O(total·log²) bitonic sort on TPU and dominated frame setup).
+    # Equivalent draw: keep the n smallest of iid uniforms — the selected
+    # SET has the same exchangeable distribution. The n-th order statistic
+    # is found by 25 rounds of branch-free threshold bisection (dense VPU
+    # compares), then a cumsum ranks the survivors and drops ties past n.
+    u = jax.random.uniform(key, (total,))
 
-    lin = perm[:p_max]
-    positions = jnp.stack([lin // num_subcarriers, lin % num_subcarriers], axis=-1).astype(
-        jnp.int32
+    def bisect(_, lh):
+        lo, hi = lh
+        mid = 0.5 * (lo + hi)
+        above = jnp.sum(u < mid) >= n_pilots
+        return jnp.where(above, lo, mid), jnp.where(above, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 25, bisect, (jnp.float32(0.0), jnp.float32(1.0)))
+    pre = u < hi
+    rank = jnp.cumsum(pre) - 1  # selection rank by linear index
+    sel = pre & (rank < n_pilots)
+    mask = sel.reshape(num_symbols, num_subcarriers).astype(jnp.float32)
+
+    # Compact selected linear indices into the fixed p_max slot table.
+    slots = jnp.where(sel, rank, p_max).astype(jnp.int32)
+    lin = (
+        jnp.zeros(p_max + 1, jnp.int32)
+        .at[slots]
+        .set(jnp.arange(total, dtype=jnp.int32), mode="drop")[:p_max]
     )
+    positions = jnp.stack(
+        [lin // num_subcarriers, lin % num_subcarriers], axis=-1
+    ).astype(jnp.int32)
     valid = (jnp.arange(p_max) < n_pilots).astype(jnp.float32)
     return PilotPattern(mask, positions, valid, n_pilots)
 
