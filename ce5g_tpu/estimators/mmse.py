@@ -191,6 +191,15 @@ def wiener_reconstruct(prior: WienerPrior, x, positions, grid_shape):
     return jnp.einsum("...zp,pk->...zk", t2, prior.f_mat, precision=_HI)
 
 
+def _legendre_basis(s: int, m: int):
+    """Static orthonormal degree-(m−1) Legendre basis over s symbols."""
+    import numpy as np
+
+    x = np.linspace(-1.0, 1.0, s)
+    q, _ = np.linalg.qr(np.polynomial.legendre.legvander(x, m - 1))
+    return jnp.asarray(q, jnp.float32)  # (s, m)
+
+
 def mmse_full_estimate(
     rx_symbols,
     tx_grid,
@@ -202,6 +211,7 @@ def mmse_full_estimate(
     amp,
     doppler_hz,
     symbol_duration: float,
+    time_rank: int = 8,
 ):
     """Full per-subcarrier Wiener MMSE with channel-correlation priors.
 
@@ -240,16 +250,34 @@ def mmse_full_estimate(
     sw = jnp.sqrt(w_path)  # (n_paths,)
     t_scale = float(num_tx)
 
-    # time prior factor V with V·Vᵀ = R_t = J0(2π fd Δs T_sym). The whole
+    # Time prior factor V with V·Vᵀ ≈ R_t = J0(2π fd Δs T_sym). The whole
     # estimate depends on V only through V·Vᵀ (pilot-space covariance and
-    # reconstruction are both functions of R_t), so ANY factor works — a
-    # jittered Cholesky is ~3× cheaper than the eigh used by the explicit
-    # path (build_wiener_prior) and the 1e-5 ridge is ≪ σ².
+    # reconstruction are both functions of R_t), so ANY factor works.
+    # R_t is a smooth J0 kernel → essentially band-limited: projecting it
+    # onto a STATIC orthonormal Legendre basis Q of rank m (`time_rank`)
+    # is exact to float precision for fd·T_sym·S ≲ 0.5 (m=8 covers
+    # fd ≤ 500 Hz at the default numerology with ≤1e-6 relative error)
+    # while shrinking the Woodbury rank from n_paths·S to n_paths·m —
+    # the batched Cholesky cost drops by (m/S)³. time_rank=None or ≥ S
+    # falls back to the full-rank jittered Cholesky.
     ds = jnp.arange(s, dtype=jnp.float32)
     rt = bessel_j0(
         2.0 * jnp.pi * doppler_hz * (ds[:, None] - ds[None, :]) * symbol_duration
     )
-    v = jnp.linalg.cholesky(rt + 1e-5 * jnp.eye(s))  # (S, S)
+    # Ridge scaled to the trace: R_t is nearly rank-2 at slow fading, so
+    # its tail eigenvalues sit at f32 J0-approximation noise (~1e-6·tr)
+    # and an absolute 1e-5 ridge is NOT safely PD on TPU f32.
+    if time_rank is not None and time_rank < s:
+        q = _legendre_basis(s, time_rank)  # (S, m) static
+        # f32-exact projection: default (bf16) matmul precision leaves B
+        # indefinite at the -1e-3 level on TPU and Cholesky NaNs.
+        b = jnp.matmul(q.T, jnp.matmul(rt, q, precision=_HI), precision=_HI)
+        ridge = 1e-4 * (jnp.trace(b) / time_rank) + 1e-6
+        chol_b = jnp.linalg.cholesky(b + ridge * jnp.eye(time_rank))
+        v = jnp.matmul(q, chol_b, precision=_HI)  # (S, m)
+    else:
+        ridge = 1e-4 * (jnp.trace(rt) / s) + 1e-6
+        v = jnp.linalg.cholesky(rt + ridge * jnp.eye(s))  # (S, S)
 
     f = freq_matrix  # (n_paths, K) complex
     fc = jnp.conj(f)
@@ -259,12 +287,13 @@ def mmse_full_estimate(
 
     # gram[(p,m),(q,n)] = T·√(w_p w_q)·Σ_s V[s,m]V[s,n]·D[s,p,q], computed
     # as ONE (S, M·N)ᵀ×(S, P·Q) matmul + reshape/transpose (compile-cheap).
-    vv = (v[:, :, None] * v[:, None, :]).reshape(s, s * s)  # (S, M·N)
+    mt = v.shape[1]  # time rank (m ≤ S)
+    vv = (v[:, :, None] * v[:, None, :]).reshape(s, mt * mt)  # (S, M·N)
     dpq = d.reshape(s, n_paths * n_paths)  # (S, P·Q)
     gmn_pq = jnp.matmul(vv.astype(d.dtype).T, dpq, precision=_HI)  # (MN, PQ)
-    gram = gmn_pq.reshape(s, s, n_paths, n_paths).transpose(2, 0, 3, 1)
+    gram = gmn_pq.reshape(mt, mt, n_paths, n_paths).transpose(2, 0, 3, 1)
     gram = t_scale * gram * (sw[:, None, None, None] * sw[None, None, :, None])
-    r_dim = n_paths * s
+    r_dim = n_paths * mt
     gram = gram.reshape(r_dim, r_dim)
 
     p_ch = jnp.sum(w_path)
@@ -284,7 +313,7 @@ def mmse_full_estimate(
     z = jax.lax.linalg.triangular_solve(
         chol, y, left_side=True, lower=True, conjugate_a=True, transpose_a=True
     )
-    sol = z.T.reshape(rr, n_paths, s)  # (R, n_paths(q), S(n))
+    sol = z.T.reshape(rr, n_paths, mt)  # (R, n_paths(q), m(n))
 
     solw = sol * sw[None, :, None]
     sol_sq = jnp.einsum(
