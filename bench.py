@@ -10,6 +10,13 @@ src/baseline_estimators.py MMSEEstimator.estimate, 4×4 ETU) measured on
 this machine's CPU at 0.2377 frames/s (4.21 s/frame, mean of 3 after
 warmup — see BASELINE.md).
 
+Measurement basis: the headline number is SUSTAINED ON-DEVICE throughput
+— `iters` fresh-key batches scanned inside one jit, so per-call host
+dispatch/fetch (28 ms of tunnel latency on this dev setup) is amortized.
+The reference baseline is end-to-end CPU wall-clock; `--roundtrip` also
+reports the per-round-trip number (one jit call per batch, dispatch +
+device→host fetch included) so both comparison bases are explicit.
+
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 import json
@@ -83,6 +90,20 @@ def main():
         f"({dt / (iters * reps) * 1e3:.1f} ms/batch of {batch})",
         file=sys.stderr,
     )
+
+    if "--roundtrip" in sys.argv:
+        one = jax.jit(pipeline)
+        ks = keys_for(0)[0]
+        float(one(ks))  # compile
+        t0 = time.time()
+        for rep in range(reps):
+            float(one(keys_for(rep + 1)[0]))  # fetch blocks: full round trip
+        rt = batch * reps / (time.time() - t0)
+        print(
+            f"round-trip: {rt:.1f} frames/s (one jit call + host fetch per "
+            f"batch of {batch})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(

@@ -179,6 +179,28 @@ class DatasetGenerator:
     def _manifest_path(self, split: str) -> Path:
         return self.out / f"{split}_manifest.json"
 
+    def _fingerprint(self) -> str:
+        """Identity of everything that determines sample content + file
+        format. Resume is only valid when this matches the previous run;
+        anything else (different seed, SNR grid, save_format, …) would mix
+        incompatible chunks in one manifest."""
+        c = self.cfg
+        return json.dumps(
+            {
+                "seed": c.seed,
+                "format": c.dataset.save_format,
+                "models": list(c.channel.models),
+                "doppler": list(map(float, c.channel.doppler_hz)),
+                "snr": list(map(float, c.simulation.snr_range_db)),
+                "density": list(map(float, c.pilots.density)),
+                "interp": c.pilots.interpolation,
+                "ofdm": [c.ofdm.fft_size, c.ofdm.cp_length, c.ofdm.num_symbols,
+                         c.ofdm.num_used_subcarriers],
+                "mimo": [c.mimo.num_tx, c.mimo.num_rx],
+            },
+            sort_keys=True,
+        )
+
     # -- core
     def _keys_for(self, split: str, idxs: np.ndarray):
         sk = split_key(self.cfg.seed, split)
@@ -212,8 +234,18 @@ class DatasetGenerator:
         Resumable: the manifest records completed chunks; per-sample keys
         are pure functions of (seed, split, index), so restarting never
         changes the data (reference run_phase3_robust.py:144-156 semantics
-        without RNG-state fragility)."""
+        without RNG-state fragility).
+
+        Chunk i always covers the fixed index range
+        [i·chunk_size, min((i+1)·chunk_size, num_samples)). On resume with
+        a different ``num_samples``, only the contiguous prefix of FULL
+        chunks valid under both the old and new totals is reused; the
+        trailing partial chunk (and anything after it) is regenerated —
+        deterministic per-sample keys make the regenerated data identical,
+        so growing or shrinking a split never drops or duplicates samples.
+        """
         chunk_size = self.cfg.dataset.chunk_size
+        fingerprint = self._fingerprint()
         mpath = self._manifest_path(split)
         manifest = {
             "split": split,
@@ -224,18 +256,47 @@ class DatasetGenerator:
             "samples_per_second": 0.0,
             "seed": self.cfg.seed,
             "format": self.cfg.dataset.save_format,
+            "fingerprint": fingerprint,
         }
         if resume and mpath.exists():
             prev = json.loads(mpath.read_text())
-            if prev.get("chunk_size") == chunk_size and prev.get("seed") == self.cfg.seed:
+            if (
+                prev.get("chunk_size") == chunk_size
+                and prev.get("fingerprint") == fingerprint
+            ):
+                # Chunk i is reusable iff its fixed index range under the
+                # previous total equals its range under the new total AND it
+                # was fully written; keep the contiguous on-disk prefix of
+                # reusable chunks. A trailing chunk that was partial under a
+                # different total is regenerated (deterministic keys ⇒ the
+                # overlap is bit-identical), never silently kept/overwritten.
+                prev_total = prev.get("total", prev.get("completed", 0))
+                prev_completed = min(prev.get("completed", 0), prev_total)
+                files: List[str] = []
+                completed, i = 0, 0
+                while completed < num_samples:
+                    prev_end = min((i + 1) * chunk_size, prev_total)
+                    new_end = min((i + 1) * chunk_size, num_samples)
+                    p = self._chunk_path(split, i)
+                    if (
+                        prev_end != new_end
+                        or prev_end > prev_completed
+                        or p.name not in prev.get("files", [])
+                        or not p.exists()
+                    ):
+                        break
+                    files.append(p.name)
+                    completed = new_end
+                    i += 1
                 manifest.update(
-                    completed=min(prev["completed"], num_samples),
-                    files=prev["files"],
+                    completed=completed,
+                    files=files,
                     samples_per_second=prev.get("samples_per_second", 0.0),
                 )
         if manifest["completed"] >= num_samples:
             manifest["total"] = num_samples
             mpath.write_text(json.dumps(manifest, indent=2))
+            self._prune_stale_chunks(split, manifest)
             return manifest
 
         t0 = time.perf_counter()
@@ -262,7 +323,16 @@ class DatasetGenerator:
                 f"({manifest['samples_per_second']:.1f} samples/s)"
             )
             start = end
+        self._prune_stale_chunks(split, manifest)
         return manifest
+
+    def _prune_stale_chunks(self, split: str, manifest: Dict) -> None:
+        """Delete this split's chunk files that are no longer referenced by
+        the manifest (left behind when a resume shrank ``num_samples``)."""
+        keep = set(manifest["files"])
+        for p in self.out.glob(f"{split}_chunk_*.*"):
+            if p.name not in keep:
+                p.unlink()
 
     def merge_split(self, split: str) -> str:
         """Concatenate chunk files into one `{split}.npz`/`.h5`

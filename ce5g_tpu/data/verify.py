@@ -3,7 +3,9 @@
 and LS-quality spot checks — over a manifest or a merged file."""
 from __future__ import annotations
 
-from typing import Dict
+import json
+from pathlib import Path
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -23,8 +25,19 @@ REQUIRED_KEYS = (
 )
 
 
-def verify_dataset(path: str, density_tol: float = 0.05) -> Dict:
-    """Run all checks; returns {"passed": bool, "checks": {...}, ...}."""
+def verify_dataset(
+    path: str,
+    density_tol: float = 0.05,
+    expected_samples: Optional[int] = None,
+) -> Dict:
+    """Run all checks; returns {"passed": bool, "checks": {...}, ...}.
+
+    When ``path`` is a manifest (or ``expected_samples`` is given), the
+    actual sample count is checked against the manifest's ``total`` —
+    catching splits corrupted by an inconsistent resume."""
+    p = Path(path)
+    if expected_samples is None and p.suffix == ".json":
+        expected_samples = json.loads(p.read_text()).get("total")
     arrays = read_split(path)
     checks: Dict[str, Dict] = {}
 
@@ -88,6 +101,13 @@ def verify_dataset(path: str, density_tol: float = 0.05) -> Dict:
 
     nonzero = float(np.mean(np.abs(ht) ** 2))
     record("energy", nonzero > 0, f"mean |H|^2 = {nonzero:.4g}")
+
+    if expected_samples is not None:
+        record(
+            "sample_count",
+            n == expected_samples,
+            f"{n} samples vs manifest total {expected_samples}",
+        )
 
     return {
         "passed": all(c["passed"] for c in checks.values()),

@@ -19,6 +19,26 @@ from .ls import ls_estimate
 from .mmse import mmse_diag_estimate, mmse_full_estimate
 
 
+def auto_time_rank(cfg: ExperimentConfig) -> Optional[int]:
+    """Static Legendre-projection rank for the mmse_full time prior.
+
+    The J0(2π·fd·τ) temporal kernel over a frame of duration S·T_sym is
+    essentially band-limited to fd, so its Slepian dimension is
+    ≈ 2·fd·S·T_sym plus a small margin. The rank must be STATIC (Doppler
+    is a traced per-frame value inside jit), so it is sized for the worst
+    case over the configured Doppler list: rank 8 at the default
+    numerology covers fd ≤ 500 Hz with ≤1e-6 relative error (measured).
+    Returns None (full rank, always exact) when the projection would not
+    shrink the Woodbury system.
+    """
+    s = cfg.ofdm.num_symbols
+    fd_max = max(cfg.channel.doppler_hz)
+    import math
+
+    m = int(math.ceil(2.0 * fd_max * cfg.ofdm.symbol_duration * s)) + 7
+    return None if m >= s else m
+
+
 def estimate_frame(
     frame: Frame,
     *,
@@ -26,6 +46,7 @@ def estimate_frame(
     estimator: str = "ls",
     method: str = "linear",
     table: Optional[ProfileTable] = None,
+    time_rank: "int | None | str" = "auto",
 ) -> jax.Array:
     """Estimate the channel of one simulated frame.
 
@@ -33,6 +54,9 @@ def estimate_frame(
         estimator: 'ls' | 'mmse' (reference-parity diagonal) | 'mmse_full'
             (per-subcarrier Wiener with correlation priors).
         method: interpolation for 'ls'/'mmse' ('nearest'|'linear'|'cubic').
+        time_rank: mmse_full time-prior rank — "auto" (sized from the max
+            configured Doppler via :func:`auto_time_rank`), an int, or
+            None for exact full rank.
 
     Returns:
         (S, R, T, K) complex64 channel estimate.
@@ -85,6 +109,7 @@ def estimate_frame(
             amp,
             frame.params.doppler_hz,
             cfg.ofdm.symbol_duration,
+            time_rank=auto_time_rank(cfg) if time_rank == "auto" else time_rank,
         )
     raise ValueError(f"Unknown estimator: {estimator!r}")
 
@@ -97,6 +122,7 @@ def estimate_batch(
     method: str = "linear",
     table: Optional[ProfileTable] = None,
     chunk_size: Optional[int] = None,
+    time_rank: "int | None | str" = "auto",
 ) -> jax.Array:
     """Batched :func:`estimate_frame` over a leading batch axis.
 
@@ -110,7 +136,12 @@ def estimate_batch(
     if table is None:
         table = table_for(cfg)
     fn = functools.partial(
-        estimate_frame, cfg=cfg, estimator=estimator, method=method, table=table
+        estimate_frame,
+        cfg=cfg,
+        estimator=estimator,
+        method=method,
+        table=table,
+        time_rank=time_rank,
     )
     batch = jax.tree.leaves(frames)[0].shape[0]
     if chunk_size and chunk_size < batch:

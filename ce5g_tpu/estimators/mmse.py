@@ -211,7 +211,7 @@ def mmse_full_estimate(
     amp,
     doppler_hz,
     symbol_duration: float,
-    time_rank: int = 8,
+    time_rank: "int | None" = None,
 ):
     """Full per-subcarrier Wiener MMSE with channel-correlation priors.
 

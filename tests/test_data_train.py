@@ -144,3 +144,63 @@ class TestSchedules:
         assert lr_schedule_per_epoch(c, 0) == pytest.approx(1e-3)
         assert lr_schedule_per_epoch(c, 10) == pytest.approx(1e-3)  # restart
         assert lr_schedule_per_epoch(c, 30) == pytest.approx(1e-3)  # 2nd restart
+
+
+class TestResumeConsistency:
+    """ADVICE r1 (medium): resume with a changed num_samples must never
+    drop, duplicate, or mix samples."""
+
+    def _gen(self, cfg, d, n, resume=False):
+        g = DatasetGenerator(cfg, str(d))
+        g.generate_split("train", n, resume=resume, log=lambda *_: None)
+        return g
+
+    def test_grow_after_partial_chunk(self, tiny_cfg, tmp_path):
+        """chunk_size 8: 6 then resume→10 must equal a fresh 10-sample run."""
+        from dataclasses import replace
+
+        cfg = replace(tiny_cfg, dataset=DatasetConfig(chunk_size=4))
+        d1, d2 = tmp_path / "a", tmp_path / "b"
+        self._gen(cfg, d1, 6)
+        g = self._gen(cfg, d1, 10, resume=True)
+        self._gen(cfg, d2, 10)
+        a = __import__("ce5g_tpu.data.generator", fromlist=["read_split"]).read_split(
+            str(d1 / "train_manifest.json")
+        )
+        b = __import__("ce5g_tpu.data.generator", fromlist=["read_split"]).read_split(
+            str(d2 / "train_manifest.json")
+        )
+        assert a["H_true"].shape[0] == 10
+        np.testing.assert_allclose(a["H_true"], b["H_true"])
+        report = verify_dataset(str(d1 / "train_manifest.json"))
+        assert report["passed"] and report["checks"]["sample_count"]["passed"]
+
+    def test_shrink_prunes(self, tiny_cfg, tmp_path):
+        from dataclasses import replace
+
+        from ce5g_tpu.data.generator import read_split
+
+        cfg = replace(tiny_cfg, dataset=DatasetConfig(chunk_size=4))
+        self._gen(cfg, tmp_path, 10)
+        self._gen(cfg, tmp_path, 6, resume=True)
+        a = read_split(str(tmp_path / "train_manifest.json"))
+        assert a["H_true"].shape[0] == 6
+        # stale chunk files deleted
+        import json as _json
+
+        manifest = _json.loads((tmp_path / "train_manifest.json").read_text())
+        on_disk = sorted(p.name for p in tmp_path.glob("train_chunk_*"))
+        assert on_disk == sorted(manifest["files"])
+
+    def test_fingerprint_mismatch_restarts(self, tiny_cfg, tmp_path):
+        """Changing save_format (or any content-relevant cfg) on resume must
+        start fresh, not mix chunk formats in one manifest."""
+        from dataclasses import replace
+
+        self._gen(tiny_cfg, tmp_path, 8)
+        cfg2 = replace(tiny_cfg, dataset=DatasetConfig(chunk_size=8, save_format="h5"))
+        g2 = DatasetGenerator(cfg2, str(tmp_path))
+        m = g2.generate_split("train", 8, resume=True, log=lambda *_: None)
+        assert all(f.endswith(".h5") for f in m["files"])
+        report = verify_dataset(str(tmp_path / "train_manifest.json"))
+        assert report["passed"], report

@@ -296,3 +296,48 @@ class TestEqualizer:
         np.testing.assert_allclose(
             np.asarray(x_zf), np.asarray(x_mm), atol=1e-4
         )
+
+
+class TestTimeRank:
+    """ADVICE r1: time_rank must scale with the configured Doppler instead
+    of a hard-coded 8 that silently degrades above ~500 Hz."""
+
+    def test_auto_rank_rule(self):
+        from dataclasses import replace
+
+        from ce5g_tpu import ChannelConfig, ExperimentConfig
+        from ce5g_tpu.estimators.api import auto_time_rank
+
+        base = ExperimentConfig()
+        lo = replace(base, channel=ChannelConfig(doppler_hz=(10.0, 200.0)))
+        hi = replace(base, channel=ChannelConfig(doppler_hz=(2000.0,)))
+        vhi = replace(base, channel=ChannelConfig(doppler_hz=(5000.0,)))
+        r_lo, r_hi = auto_time_rank(lo), auto_time_rank(hi)
+        assert r_lo == 8  # default numerology, fd ≤ 500 Hz regime
+        assert r_hi is not None and r_hi > r_lo
+        assert auto_time_rank(vhi) is None  # above validity → full rank
+
+    def test_auto_matches_full_rank_at_high_doppler(self):
+        """At 2 kHz Doppler (outside the old rank-8 validity bound) the
+        auto-ranked estimate must agree with the exact full-rank solve."""
+        from dataclasses import replace
+
+        from ce5g_tpu import ChannelConfig, ExperimentConfig, MIMOConfig
+
+        cfg = replace(
+            ExperimentConfig(mimo=MIMOConfig(num_tx=1, num_rx=1)),
+            channel=ChannelConfig(doppler_hz=(2000.0,)),
+        )
+        B = 4
+        keys = jax.random.split(jax.random.key(21), B)
+        frames = simulate_batch(keys, params(doppler=2000.0, snr=15.0, B=B), cfg=cfg)
+        h_auto = estimate_batch(frames, cfg=cfg, estimator="mmse_full")
+        h_full = estimate_batch(
+            frames, cfg=cfg, estimator="mmse_full", time_rank=None
+        )
+        auto_db = float(nmse_db(frames.channel, h_auto))
+        full_db = float(nmse_db(frames.channel, h_full))
+        assert abs(auto_db - full_db) < 0.1
+        # and the old hard-coded rank 8 is measurably worse here
+        h_8 = estimate_batch(frames, cfg=cfg, estimator="mmse_full", time_rank=8)
+        assert float(nmse_db(frames.channel, h_8)) > full_db + 0.2

@@ -86,3 +86,17 @@ def test_input_preparation(cfg):
 def test_unknown_model_raises():
     with pytest.raises(ValueError):
         get_model("nope", ModelConfig())
+
+
+def test_pilot_term_uses_base_loss_type():
+    """ADVICE r1: the pilot-masked term must apply the configured base loss
+    (reference feeds masked tensors through the same criterion)."""
+    pred = jnp.zeros((2, S, K, 2))
+    target = jnp.full((2, S, K, 2), 2.0)  # |err|=2 → mae≠mse≠huber
+    mask = jnp.ones((2, S, K))
+    for lt, base in (("mse", 4.0), ("mae", 2.0), ("huber", 1.5)):
+        v = float(
+            channel_estimation_loss(pred, target, mask, loss_type=lt,
+                                    pilot_weight=1.0)
+        )
+        assert abs(v - 2 * base) < 1e-6, (lt, v)
