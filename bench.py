@@ -28,6 +28,13 @@ REF_FRAMES_PER_S = 0.2377  # reference CPU, this machine (see BASELINE.md)
 
 def main():
     import jax
+
+    # Persistent compilation cache: the pipeline compiles once per machine,
+    # not once per process (first compile of the scanned pipeline is ~4 min
+    # through the tunneled dev chip; cached reload is seconds).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ce5g_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from ce5g_tpu import ExperimentConfig, MIMOConfig
@@ -57,7 +64,7 @@ def main():
     # `iters` fresh-key batches INSIDE one jit call (fresh keys defeat
     # relay caching; the scan carry forces sequential full materialization)
     # and the host fetches ONE scalar at the end.
-    batch, iters = 256, 8
+    batch, iters = 256, 32
 
     @jax.jit
     def many(keys2d):

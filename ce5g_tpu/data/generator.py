@@ -107,6 +107,11 @@ def generate_chunk_fn(cfg: ExperimentConfig, table=None) -> Callable:
 
 
 # ----------------------------------------------------------------- file I/O
+#: save_format value → file extension ('ce5g' is the fast native-codec
+#: container, data/ce5g_format.py; npz/h5 are reference-parity formats)
+FORMAT_EXT = {"npz": "npz", "h5": "h5", "ce5g": "ce5g"}
+
+
 def _write_npz(path: Path, arrays: Dict[str, np.ndarray]) -> None:
     np.savez_compressed(path, **arrays)
 
@@ -135,10 +140,25 @@ def _read_h5(path: Path) -> Dict[str, np.ndarray]:
     return out
 
 
+def _write_chunk(path: Path, arrays: Dict[str, np.ndarray], fmt: str) -> None:
+    if fmt == "h5":
+        _write_h5(path, arrays)
+    elif fmt == "ce5g":
+        from .ce5g_format import write_ce5g
+
+        write_ce5g(path, arrays)
+    else:
+        _write_npz(path, arrays)
+
+
 def read_chunk(path: Path) -> Dict[str, np.ndarray]:
     p = Path(path)
     if p.suffix == ".h5":
         return _read_h5(p)
+    if p.suffix == ".ce5g":
+        from .ce5g_format import read_ce5g
+
+        return read_ce5g(p)
     with np.load(p, allow_pickle=False) as z:
         return {k: z[k] for k in z.files}
 
@@ -172,9 +192,11 @@ class DatasetGenerator:
         self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
 
     # -- paths
+    def _ext(self) -> str:
+        return FORMAT_EXT.get(self.cfg.dataset.save_format, "npz")
+
     def _chunk_path(self, split: str, chunk_idx: int) -> Path:
-        ext = "h5" if self.cfg.dataset.save_format == "h5" else "npz"
-        return self.out / f"{split}_chunk_{chunk_idx:05d}.{ext}"
+        return self.out / f"{split}_chunk_{chunk_idx:05d}.{self._ext()}"
 
     def _manifest_path(self, split: str) -> Path:
         return self.out / f"{split}_manifest.json"
@@ -307,10 +329,7 @@ class DatasetGenerator:
             idxs = np.arange(start, end)
             arrays = self._run_chunk(split, idxs)
             cpath = self._chunk_path(split, start // chunk_size)
-            if self.cfg.dataset.save_format == "h5":
-                _write_h5(cpath, arrays)
-            else:
-                _write_npz(cpath, arrays)
+            _write_chunk(cpath, arrays, self.cfg.dataset.save_format)
             if cpath.name not in manifest["files"]:
                 manifest["files"].append(cpath.name)
             done_this_session += len(idxs)
@@ -338,10 +357,6 @@ class DatasetGenerator:
         """Concatenate chunk files into one `{split}.npz`/`.h5`
         (reference run_phase3_robust.py:261-288)."""
         arrays = read_split(str(self._manifest_path(split)))
-        ext = "h5" if self.cfg.dataset.save_format == "h5" else "npz"
-        out = self.out / f"{split}.{ext}"
-        if ext == "h5":
-            _write_h5(out, arrays)
-        else:
-            _write_npz(out, arrays)
+        out = self.out / f"{split}.{self._ext()}"
+        _write_chunk(out, arrays, self.cfg.dataset.save_format)
         return str(out)

@@ -24,19 +24,38 @@ def auto_time_rank(cfg: ExperimentConfig) -> Optional[int]:
 
     The J0(2π·fd·τ) temporal kernel over a frame of duration S·T_sym is
     essentially band-limited to fd, so its Slepian dimension is
-    ≈ 2·fd·S·T_sym plus a small margin. The rank must be STATIC (Doppler
-    is a traced per-frame value inside jit), so it is sized for the worst
-    case over the configured Doppler list: rank 8 at the default
-    numerology covers fd ≤ 500 Hz with ≤1e-6 relative error (measured).
-    Returns None (full rank, always exact) when the projection would not
-    shrink the Woodbury system.
+    ≈ 2·fd·S·T_sym plus a margin that has no clean closed form. The rank
+    must be STATIC (Doppler is a traced per-frame value inside jit), but
+    the worst-case fd — max of the configured Doppler list — is a Python
+    float, so the required rank is found NUMERICALLY here: smallest m
+    whose Legendre projection reconstructs the worst-case R_t within 1e-5
+    relative Frobenius error (a one-off S×S host computation at trace
+    time). At the default numerology this gives m=5 for fd ≤ 200 Hz and
+    m=8 for fd ≤ 500 Hz — the Woodbury Cholesky cost scales (m/S)³, so
+    sizing m exactly (instead of a safe formula margin) is a direct
+    speedup of the mmse_full hot path.
+
+    Returns None (full rank, always exact) when no m < S reaches the
+    tolerance.
     """
+    import numpy as np
+
     s = cfg.ofdm.num_symbols
     fd_max = max(cfg.channel.doppler_hz)
-    import math
+    from scipy.special import j0 as _j0  # host-side; device uses the A&S
+    # rational approx (|err|<1e-7 — immaterial at the 1e-5 tolerance)
 
-    m = int(math.ceil(2.0 * fd_max * cfg.ofdm.symbol_duration * s)) + 7
-    return None if m >= s else m
+    ds = np.arange(s, dtype=np.float64)
+    tau = 2.0 * np.pi * fd_max * (ds[:, None] - ds[None, :]) * cfg.ofdm.symbol_duration
+    rt = _j0(tau)
+    x = np.linspace(-1.0, 1.0, s)
+    norm = np.linalg.norm(rt)
+    for m in range(2, s):
+        q, _ = np.linalg.qr(np.polynomial.legendre.legvander(x, m - 1))
+        rec = q @ (q.T @ rt @ q) @ q.T
+        if np.linalg.norm(rec - rt) <= 1e-5 * norm:
+            return m
+    return None
 
 
 def estimate_frame(

@@ -19,12 +19,9 @@ from ..models.inputs import MLBatch
 
 
 def _load_file(p: Path) -> Dict[str, np.ndarray]:
-    if p.suffix == ".h5":
-        from ..data.generator import _read_h5
+    from ..data.generator import read_chunk
 
-        return _read_h5(p)
-    with np.load(p, allow_pickle=False) as z:
-        return {k: z[k] for k in z.files}
+    return read_chunk(p)
 
 
 class ChannelDataset:

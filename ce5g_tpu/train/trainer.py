@@ -235,7 +235,7 @@ class Trainer:
         model_dir: Optional[str] = None,
     ) -> Dict:
         cfg = self.cfg
-        epochs = epochs or cfg.training.epochs
+        epochs = cfg.training.epochs if epochs is None else epochs
         model_dir = Path(model_dir or cfg.model_dir)
         model_dir.mkdir(parents=True, exist_ok=True)
         self.log(

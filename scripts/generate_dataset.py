@@ -16,6 +16,13 @@ def main():
     parser.add_argument("--val-samples", type=int, default=None)
     parser.add_argument("--test-samples", type=int, default=None)
     parser.add_argument("--chunk-size", type=int, default=None)
+    parser.add_argument(
+        "--format",
+        choices=("npz", "h5", "ce5g"),
+        default=None,
+        help="chunk file format; 'ce5g' uses the native threaded codec "
+        "(~7-15x faster writes than npz on this host)",
+    )
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--resume", action="store_true", default=True)
     parser.add_argument("--no-resume", dest="resume", action="store_false")
@@ -35,6 +42,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, dataset=dataclasses.replace(cfg.dataset, chunk_size=args.chunk_size)
         )
+    if args.format is not None:
+        cfg = dataclasses.replace(
+            cfg, dataset=dataclasses.replace(cfg.dataset, save_format=args.format)
+        )
 
     from ce5g_tpu.data import DatasetGenerator, verify_dataset
 
@@ -45,10 +56,13 @@ def main():
         mesh = make_mesh()
 
     gen = DatasetGenerator(cfg, args.output_dir, mesh=mesh)
+    def _count(flag, default):
+        return default if flag is None else flag  # 0 is a valid "skip split"
+
     counts = {
-        "train": args.train_samples or cfg.dataset.train_samples,
-        "val": args.val_samples or cfg.dataset.val_samples,
-        "test": args.test_samples or cfg.dataset.test_samples,
+        "train": _count(args.train_samples, cfg.dataset.train_samples),
+        "val": _count(args.val_samples, cfg.dataset.val_samples),
+        "test": _count(args.test_samples, cfg.dataset.test_samples),
     }
     for split, n in counts.items():
         if n <= 0:
