@@ -110,6 +110,8 @@ def estimate_frame(
             method,
         )
     if estimator == "mmse_full":
+        import numpy as np
+
         freq_matrix = jnp.asarray(table.freq_response)[frame.params.profile_idx]
         amp_table = (
             table.amp_overwrite
@@ -117,6 +119,9 @@ def estimate_frame(
             else table.amp_accumulate
         )
         amp = jnp.asarray(amp_table)[frame.params.profile_idx]
+        # static all-profiles outer-product table for the D contraction
+        f_np = np.asarray(table.freq_response)  # (C, P, K)
+        a_table = np.conj(f_np)[:, :, None, :] * f_np[:, None, :, :]
         return mmse_full_estimate(
             frame.rx_symbols,
             tx_grid,
@@ -129,6 +134,8 @@ def estimate_frame(
             frame.params.doppler_hz,
             cfg.ofdm.symbol_duration,
             time_rank=auto_time_rank(cfg) if time_rank == "auto" else time_rank,
+            a_table=a_table,
+            profile_idx=frame.params.profile_idx,
         )
     raise ValueError(f"Unknown estimator: {estimator!r}")
 

@@ -35,9 +35,33 @@ def frequency_response(path_gains, freq_matrix):
     Returns:
         (..., S, R, T, K) complex64 channel frequency response.
     """
+    from ..utils.complexify import packed_complex_matmul
+
     if freq_matrix.ndim == 2:
-        return jnp.einsum("...srtp,pk->...srtk", path_gains, freq_matrix, precision=_HI)
+        # thin contraction (P=9): packed form halves the MXU tile passes
+        return packed_complex_matmul(path_gains, freq_matrix, precision=_HI)
     return jnp.einsum("...srtp,...pk->...srtk", path_gains, freq_matrix, precision=_HI)
+
+
+def _add_awgn(key, received, snr_db):
+    """AWGN at the frame's measured mean received power (reference :337-343).
+
+    Per-frame power: mean over the trailing (S, R, K) axes so batched
+    frames each get their own noise scale."""
+    frame_axes = tuple(range(received.ndim - 3, received.ndim))
+    signal_power = jnp.mean(jnp.abs(received) ** 2, axis=frame_axes)
+    snr_linear = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
+    noise_power = signal_power / snr_linear
+    noise_std = jnp.sqrt(noise_power / 2.0)
+
+    kr, ki = jax.random.split(key)
+    shape = received.shape
+    noise = jax.lax.complex(
+        jax.random.normal(kr, shape, jnp.float32),
+        jax.random.normal(ki, shape, jnp.float32),
+    )
+    bcast = noise_std.reshape(noise_std.shape + (1,) * 3)
+    return (received + noise * bcast).astype(jnp.complex64)
 
 
 def apply_channel(key, tx_symbols, channel_response, snr_db):
@@ -55,23 +79,35 @@ def apply_channel(key, tx_symbols, channel_response, snr_db):
     received = jnp.einsum(
         "...srtk,...stk->...srk", channel_response, tx_symbols, precision=_HI
     )
+    return _add_awgn(key, received, snr_db)
 
-    # Per-frame measured signal power (reference :337): mean over the frame's
-    # own (S, R, K) axes so batched frames each get their own noise scale.
-    frame_axes = tuple(range(received.ndim - 3, received.ndim))
-    signal_power = jnp.mean(jnp.abs(received) ** 2, axis=frame_axes)
-    snr_linear = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
-    noise_power = signal_power / snr_linear
-    noise_std = jnp.sqrt(noise_power / 2.0)
 
-    kr, ki = jax.random.split(key)
-    shape = received.shape
-    noise = jax.lax.complex(
-        jax.random.normal(kr, shape, jnp.float32),
-        jax.random.normal(ki, shape, jnp.float32),
-    )
-    bcast = noise_std.reshape(noise_std.shape + (1,) * 3)
-    return (received + noise * bcast).astype(jnp.complex64)
+def apply_channel_common_grid(key, tx_grid, path_gains, freq_matrix, snr_db):
+    """y = H·x + AWGN for the common-grid case, without re-reading H.
+
+    Every reference call-site transmits the SAME grid on all TX antennas
+    (channel_simulator.py:402-404, SURVEY §2.2), so by linearity
+    y[s,r,k] = Σ_t H[s,r,t,k]·x[s,k] = ((Σ_t g)[s,r,:] @ F)[k] · x[s,k] —
+    the TX sum moves onto the tiny path-gain tensor BEFORE the delay→bin
+    expansion. This skips the (..., S, R, T, K) read of H (≈275 MB/256
+    frames — the single largest HBM consumer in the profile) and the
+    T-thin dot_general. Identical math to apply_channel up to f32
+    summation order; parity tests are statistical (realized SNR, NMSE).
+
+    Args:
+        tx_grid: (..., S, K) complex — the grid shared by all TX antennas.
+        path_gains: (..., S, R, T, P) complex symbol-sampled gains.
+        freq_matrix: (P, K) or (..., P, K) delay→bin matrix.
+    """
+    from ..utils.complexify import packed_complex_matmul
+
+    gsum = jnp.sum(path_gains, axis=-2)  # (..., S, R, P)
+    if freq_matrix.ndim == 2:
+        hsum = packed_complex_matmul(gsum, freq_matrix, precision=_HI)
+    else:
+        hsum = jnp.einsum("...srp,...pk->...srk", gsum, freq_matrix, precision=_HI)
+    received = hsum * tx_grid[..., :, None, :]
+    return _add_awgn(key, received, snr_db)
 
 
 def time_domain_apply(tx_signal, dense_gains, delay_samples, path_valid):

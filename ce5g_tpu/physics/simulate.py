@@ -28,7 +28,12 @@ import jax.numpy as jnp
 
 from ..config import ExperimentConfig
 from .jakes import path_gains_symbol_sampled, dense_fading
-from .mimo import apply_channel, frequency_response, time_domain_apply
+from .mimo import (
+    apply_channel,
+    apply_channel_common_grid,
+    frequency_response,
+    time_domain_apply,
+)
 from .ofdm import demodulate, modulate
 from .pilots import PilotPattern, make_pattern
 from .profiles import ProfileTable, build_profile_table
@@ -128,7 +133,14 @@ def simulate_frame(
     freq_matrix = jnp.asarray(table.freq_response)[params.profile_idx]  # (P, K)
     H = frequency_response(gains, freq_matrix)  # (S, R, T, K)
 
-    rx = apply_channel(k_noise, tx, H, params.snr_db)  # (S, R, K)
+    if orthogonal_pilots:
+        rx = apply_channel(k_noise, tx, H, params.snr_db)  # (S, R, K)
+    else:
+        # common grid on all TX ⇒ the TX sum moves onto the path gains,
+        # skipping a second full read of H (see apply_channel_common_grid)
+        rx = apply_channel_common_grid(
+            k_noise, tx[:, 0, :], gains, freq_matrix, params.snr_db
+        )
 
     return Frame(
         tx_symbols=tx,
