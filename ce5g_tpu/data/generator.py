@@ -173,6 +173,17 @@ def read_split(path: str) -> Dict[str, np.ndarray]:
     return read_chunk(p)
 
 
+def chunk_range_for_writer(
+    num_chunks: int, num_writers: int, writer_id: int
+) -> "tuple[int, int]":
+    """Balanced contiguous chunk block [lo, hi) owned by ``writer_id``."""
+    if not (0 <= writer_id < num_writers):
+        raise ValueError(f"writer_id {writer_id} outside [0, {num_writers})")
+    base, extra = divmod(num_chunks, num_writers)
+    lo = writer_id * base + min(writer_id, extra)
+    return lo, lo + base + (1 if writer_id < extra else 0)
+
+
 # ---------------------------------------------------------------- generator
 class DatasetGenerator:
     """Chunked, resumable, optionally mesh-sharded dataset factory."""
@@ -198,7 +209,11 @@ class DatasetGenerator:
     def _chunk_path(self, split: str, chunk_idx: int) -> Path:
         return self.out / f"{split}_chunk_{chunk_idx:05d}.{self._ext()}"
 
-    def _manifest_path(self, split: str) -> Path:
+    def _manifest_path(
+        self, split: str, writer_id: int = 0, num_writers: int = 1
+    ) -> Path:
+        if num_writers > 1:
+            return self.out / f"{split}_manifest_w{writer_id:03d}.json"
         return self.out / f"{split}_manifest.json"
 
     def _fingerprint(self) -> str:
@@ -250,6 +265,8 @@ class DatasetGenerator:
         num_samples: int,
         resume: bool = False,
         log=print,
+        writer_id: Optional[int] = None,
+        num_writers: Optional[int] = None,
     ) -> Dict:
         """Generate `num_samples` frames for `split` in chunk files.
 
@@ -265,10 +282,32 @@ class DatasetGenerator:
         trailing partial chunk (and anything after it) is regenerated —
         deterministic per-sample keys make the regenerated data identical,
         so growing or shrinking a split never drops or duplicates samples.
+
+        Multi-host: with ``num_writers`` > 1 (defaults to
+        ``jax.process_count()``), writer ``writer_id`` generates only its
+        contiguous block of chunks and writes a per-writer manifest —
+        NO host serializes the others' output (SURVEY §5.8 obligation).
+        Because chunk content is a pure function of global sample indices,
+        the union over writers is bit-identical to a single-writer run.
+        After all writers finish (callers on real multi-host runtimes
+        should barrier, e.g. ``multihost_utils.sync_global_devices``),
+        :meth:`write_global_manifest` assembles the standard manifest.
         """
+        if num_writers is None:
+            num_writers = jax.process_count()
+            writer_id = jax.process_index()
+        writer_id = writer_id or 0
         chunk_size = self.cfg.dataset.chunk_size
+        num_chunks = -(-num_samples // chunk_size) if num_samples else 0
+        chunk_lo, chunk_hi = chunk_range_for_writer(
+            num_chunks, num_writers, writer_id
+        )
+        owned_samples = max(
+            0,
+            min(chunk_hi * chunk_size, num_samples) - chunk_lo * chunk_size,
+        )
         fingerprint = self._fingerprint()
-        mpath = self._manifest_path(split)
+        mpath = self._manifest_path(split, writer_id, num_writers)
         manifest = {
             "split": split,
             "total": num_samples,
@@ -279,6 +318,10 @@ class DatasetGenerator:
             "seed": self.cfg.seed,
             "format": self.cfg.dataset.save_format,
             "fingerprint": fingerprint,
+            "writer_id": writer_id,
+            "num_writers": num_writers,
+            "chunk_range": [chunk_lo, chunk_hi],
+            "owned_samples": owned_samples,
         }
         if resume and mpath.exists():
             prev = json.loads(mpath.read_text())
@@ -289,43 +332,53 @@ class DatasetGenerator:
                 # Chunk i is reusable iff its fixed index range under the
                 # previous total equals its range under the new total AND it
                 # was fully written; keep the contiguous on-disk prefix of
-                # reusable chunks. A trailing chunk that was partial under a
-                # different total is regenerated (deterministic keys ⇒ the
-                # overlap is bit-identical), never silently kept/overwritten.
+                # reusable chunks in the owned range. A trailing chunk that
+                # was partial under a different total is regenerated
+                # (deterministic keys ⇒ the overlap is bit-identical),
+                # never silently kept/overwritten.
                 prev_total = prev.get("total", prev.get("completed", 0))
-                prev_completed = min(prev.get("completed", 0), prev_total)
+                prev_done = min(prev.get("completed", 0), prev_total)
+                # prev 'completed' counted prev-owned samples; convert to a
+                # global sample bound for the full-chunk check
+                prev_lo = prev.get("chunk_range", [0, 0])[0]
+                prev_bound = prev_lo * chunk_size + prev_done
                 files: List[str] = []
-                completed, i = 0, 0
-                while completed < num_samples:
+                completed, i = 0, chunk_lo
+                while i < chunk_hi:
                     prev_end = min((i + 1) * chunk_size, prev_total)
                     new_end = min((i + 1) * chunk_size, num_samples)
                     p = self._chunk_path(split, i)
                     if (
                         prev_end != new_end
-                        or prev_end > prev_completed
+                        or prev_end > prev_bound
                         or p.name not in prev.get("files", [])
                         or not p.exists()
                     ):
                         break
                     files.append(p.name)
-                    completed = new_end
+                    completed = new_end - chunk_lo * chunk_size
                     i += 1
                 manifest.update(
                     completed=completed,
                     files=files,
                     samples_per_second=prev.get("samples_per_second", 0.0),
                 )
-        if manifest["completed"] >= num_samples:
-            manifest["total"] = num_samples
+        # single writer owns the whole namespace: prune stale chunks beyond
+        # a shrunk total too (ADVICE r1 #1); multi-writer prunes only its
+        # own contiguous block so writers never race on each other's files
+        prune_hi = None if num_writers == 1 else chunk_hi
+        if manifest["completed"] >= owned_samples:
+            manifest["completed"] = owned_samples
             mpath.write_text(json.dumps(manifest, indent=2))
-            self._prune_stale_chunks(split, manifest)
+            self._prune_stale_chunks(split, manifest, chunk_lo, prune_hi)
             return manifest
 
         t0 = time.perf_counter()
         done_this_session = 0
-        start = manifest["completed"]
-        while start < num_samples:
-            end = min(start + chunk_size, num_samples)
+        start = chunk_lo * chunk_size + manifest["completed"]
+        stop = min(chunk_hi * chunk_size, num_samples)
+        while start < stop:
+            end = min(start + chunk_size, stop)
             idxs = np.arange(start, end)
             arrays = self._run_chunk(split, idxs)
             cpath = self._chunk_path(split, start // chunk_size)
@@ -333,23 +386,80 @@ class DatasetGenerator:
             if cpath.name not in manifest["files"]:
                 manifest["files"].append(cpath.name)
             done_this_session += len(idxs)
-            manifest["completed"] = end
+            manifest["completed"] = end - chunk_lo * chunk_size
             elapsed = time.perf_counter() - t0
             manifest["samples_per_second"] = done_this_session / max(elapsed, 1e-9)
             mpath.write_text(json.dumps(manifest, indent=2))
             log(
-                f"[{split}] {end}/{num_samples} "
+                f"[{split}"
+                + (f" w{writer_id}/{num_writers}" if num_writers > 1 else "")
+                + f"] {end}/{stop} "
                 f"({manifest['samples_per_second']:.1f} samples/s)"
             )
             start = end
+        self._prune_stale_chunks(split, manifest, chunk_lo, prune_hi)
+        return manifest
+
+    def write_global_manifest(self, split: str, num_writers: int) -> Dict:
+        """Assemble the standard `{split}_manifest.json` from per-writer
+        manifests after a multi-writer run. Validates that every writer
+        finished with the same fingerprint/total; prunes chunk files not
+        referenced by any writer. The result is read by `read_split`/
+        `verify_dataset` exactly like a single-writer manifest."""
+        parts = []
+        for w in range(num_writers):
+            p = self._manifest_path(split, w, num_writers)
+            if not p.exists():
+                raise FileNotFoundError(f"missing per-writer manifest: {p}")
+            parts.append(json.loads(p.read_text()))
+        fp = parts[0]["fingerprint"]
+        total = parts[0]["total"]
+        for m in parts:
+            if m["fingerprint"] != fp or m["total"] != total:
+                raise ValueError(
+                    f"inconsistent per-writer manifests for split {split!r}"
+                )
+            if m["completed"] < m["owned_samples"]:
+                raise ValueError(
+                    f"writer {m['writer_id']} incomplete: "
+                    f"{m['completed']}/{m['owned_samples']}"
+                )
+        files = [f for m in parts for f in m["files"]]
+        manifest = {
+            "split": split,
+            "total": total,
+            "completed": total,
+            "chunk_size": parts[0]["chunk_size"],
+            "files": sorted(files),
+            "samples_per_second": sum(m["samples_per_second"] for m in parts),
+            "seed": parts[0]["seed"],
+            "format": parts[0]["format"],
+            "fingerprint": fp,
+            "num_writers": num_writers,
+        }
+        self._manifest_path(split).write_text(json.dumps(manifest, indent=2))
         self._prune_stale_chunks(split, manifest)
         return manifest
 
-    def _prune_stale_chunks(self, split: str, manifest: Dict) -> None:
-        """Delete this split's chunk files that are no longer referenced by
-        the manifest (left behind when a resume shrank ``num_samples``)."""
+    def _prune_stale_chunks(
+        self,
+        split: str,
+        manifest: Dict,
+        chunk_lo: int = 0,
+        chunk_hi: Optional[int] = None,
+    ) -> None:
+        """Delete this split's chunk files in [chunk_lo, chunk_hi) that are
+        no longer referenced by the manifest (left behind when a resume
+        shrank ``num_samples``). Multi-writer runs prune only their owned
+        range so writers never race on each other's files."""
         keep = set(manifest["files"])
         for p in self.out.glob(f"{split}_chunk_*.*"):
+            try:
+                idx = int(p.name.split("_chunk_")[1].split(".")[0])
+            except (IndexError, ValueError):
+                continue
+            if chunk_hi is not None and not (chunk_lo <= idx < chunk_hi):
+                continue
             if p.name not in keep:
                 p.unlink()
 

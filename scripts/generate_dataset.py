@@ -64,12 +64,28 @@ def main():
         "val": _count(args.val_samples, cfg.dataset.val_samples),
         "test": _count(args.test_samples, cfg.dataset.test_samples),
     }
+    import jax
+
+    nproc = jax.process_count()
     for split, n in counts.items():
         if n <= 0:
             continue
+        # multi-host: each process generates only its contiguous chunk
+        # block (generate_split defaults writer_id/num_writers from the
+        # process index); process 0 assembles the global manifest after a
+        # barrier so no host serializes the others' output
         manifest = gen.generate_split(split, n, resume=args.resume)
         print(f"{split}: {manifest['completed']} samples "
               f"@ {manifest['samples_per_second']:.1f}/s")
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ce5g_gen_{split}")
+            if jax.process_index() == 0:
+                gen.write_global_manifest(split, nproc)
+            multihost_utils.sync_global_devices(f"ce5g_gen_{split}_manifest")
+        if jax.process_index() != 0:
+            continue
         if args.merge:
             print(f"merged → {gen.merge_split(split)}")
         if args.verify:
