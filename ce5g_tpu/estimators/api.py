@@ -119,9 +119,8 @@ def estimate_frame(
             else table.amp_accumulate
         )
         amp = jnp.asarray(amp_table)[frame.params.profile_idx]
-        # static all-profiles outer-product table for the D contraction
-        f_np = np.asarray(table.freq_response)  # (C, P, K)
-        a_table = np.conj(f_np)[:, :, None, :] * f_np[:, None, :, :]
+        # static all-profiles delay→bin table for the packed E/D matmuls
+        f_table = np.asarray(table.freq_response)  # (C, P, K)
         return mmse_full_estimate(
             frame.rx_symbols,
             tx_grid,
@@ -134,7 +133,7 @@ def estimate_frame(
             frame.params.doppler_hz,
             cfg.ofdm.symbol_duration,
             time_rank=auto_time_rank(cfg) if time_rank == "auto" else time_rank,
-            a_table=a_table,
+            f_table=f_table,
             profile_idx=frame.params.profile_idx,
         )
     raise ValueError(f"Unknown estimator: {estimator!r}")
