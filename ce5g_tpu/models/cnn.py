@@ -25,7 +25,10 @@ class ConvBlock(nnx.Module):
         self.bn = nnx.BatchNorm(
             c_out, dtype=dtype, param_dtype=jnp.float32, rngs=rngs
         )
-        self.drop = nnx.Dropout(dropout, rngs=rngs)
+        # reference nn.Dropout2d (ai_models.py:54) drops whole CHANNELS —
+        # broadcast over the (S, K) spatial axes. Also ~40% faster train
+        # steps: the elementwise variant drew 137M random bits per step.
+        self.drop = nnx.Dropout(dropout, broadcast_dims=(1, 2), rngs=rngs)
 
     def __call__(self, x, train: bool = False):
         x = self.conv(x)

@@ -14,7 +14,9 @@ class ResidualBlock(nnx.Module):
         self.bn1 = nnx.BatchNorm(channels, **kw)
         self.conv2 = nnx.Conv(channels, channels, kernel_size=(3, 3), padding="SAME", **kw)
         self.bn2 = nnx.BatchNorm(channels, **kw)
-        self.drop = nnx.Dropout(dropout, rngs=rngs)
+        # reference nn.Dropout2d (ai_models.py:238): channel dropout,
+        # mask broadcast over the (S, K) spatial axes
+        self.drop = nnx.Dropout(dropout, broadcast_dims=(1, 2), rngs=rngs)
 
     def __call__(self, x, train: bool = False):
         y = self.conv1(x)
