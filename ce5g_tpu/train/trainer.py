@@ -194,26 +194,35 @@ class Trainer:
 
     # ---------------------------------------------------------------- loop
     def train_epoch(self, dataset: ChannelDataset, epoch: int) -> float:
+        """One epoch. Losses stay ON DEVICE until the epoch ends: fetching
+        `float(loss)` per step forces a device→host sync every batch
+        (a full tunnel round-trip on the dev setup), serializing host batch
+        prep against device compute. With async dispatch the host stages
+        batch k+1 while the device trains on batch k; only the periodic
+        batch-loss log and the epoch mean fetch."""
         lr = lr_schedule_per_epoch(self.cfg, epoch, self._lr_scale)
-        total, count = 0.0, 0
+        losses, count = [], 0
         for batch in dataset.batches(
             self.cfg.training.batch_size, shuffle=True, seed=self.cfg.seed + epoch
         ):
             x, y, m = self._device_batch(batch)
             loss = self._step(self.model, self.optimizer, x, y, m, lr)
-            total += float(loss)
+            losses.append(loss)
             count += 1
             if count % 10 == 0:
                 self._log_scalar("train/batch_loss", epoch * 10000 + count, float(loss))
-        return total / max(count, 1)
+        if not losses:
+            return 0.0
+        return float(jnp.mean(jnp.stack(losses)))
 
     def validate(self, dataset: ChannelDataset) -> float:
-        total, count = 0.0, 0
+        losses = []
         for batch in dataset.batches(self.cfg.training.batch_size, shuffle=False):
             x, y, m = self._device_batch(batch)
-            total += float(self._eval_step(self.model, x, y, m))
-            count += 1
-        return total / max(count, 1)
+            losses.append(self._eval_step(self.model, x, y, m))
+        if not losses:
+            return 0.0
+        return float(jnp.mean(jnp.stack(losses)))
 
     def _plateau_update(self, val_loss: float):
         """torch ReduceLROnPlateau(mode=min, patience=10, factor=0.1)."""
