@@ -64,7 +64,7 @@ def main():
     # `iters` fresh-key batches INSIDE one jit call (fresh keys defeat
     # relay caching; the scan carry forces sequential full materialization)
     # and the host fetches ONE scalar at the end.
-    batch, iters = 256, 32
+    batch, iters = 256, 64
 
     @jax.jit
     def many(keys2d):

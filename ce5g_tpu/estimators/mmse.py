@@ -392,13 +392,15 @@ def mmse_full_estimate(
     t1 = (e - corr) / sigma2  # (R, S, n_paths)
 
     rt_full = jnp.matmul(v, v.T, precision=_HI)  # PSD-clamped R_t
-    t2 = jnp.einsum("zs,rsp->rzp", rt_full.astype(t1.dtype), t1, precision=_HI)
+    # emit (S, R, P) directly: transposing here costs ~500 elements/frame;
+    # transposing h_full after the K-expansion would move the full
+    # (S, R, K) grid (~69 MB/batch — measured as a real HBM transpose)
+    t2 = jnp.einsum("zs,rsp->zrp", rt_full.astype(t1.dtype), t1, precision=_HI)
     t2 = t2 * w_path[None, None, :]
     from ..utils.complexify import packed_complex_matmul
 
-    h_full = packed_complex_matmul(t2, f, precision=_HI)  # (R, S, K)
+    h_full = packed_complex_matmul(t2, f, precision=_HI)  # (S, R, K)
 
-    h_full = jnp.moveaxis(h_full, 1, 0)
     return jnp.broadcast_to(
         h_full[:, :, None, :], (s, h_full.shape[1], num_tx, k)
     ).astype(jnp.complex64)
