@@ -1,12 +1,18 @@
 """Component benchmark suite.
 
-Measures steady-state throughput of each pipeline stage on the current
-backend. Careful measurement notes for the tunneled axon TPU runtime:
+Measures SUSTAINED on-device throughput of each pipeline stage (scan of
+fresh-key batches inside one jit, like bench.py — per-call dispatch/fetch
+through the tunneled dev TPU is ~28 ms and would otherwise dominate), plus
+host-side codec throughput and the Pallas-vs-XLA HPD solve. Careful
+measurement notes for the tunneled axon TPU runtime:
   * inputs VARY per iteration (fresh PRNG keys) — identical (program,
     inputs) pairs can be served from a relay cache and report fantasy
     numbers;
   * completion is forced by fetching a scalar VALUE (``float(...)``) —
     ``block_until_ready`` alone has been observed not to block there.
+
+`--roundtrip` additionally reports per-call numbers (one jit call + fetch
+per batch) for the pipeline stages.
 """
 import argparse
 import json
@@ -19,18 +25,23 @@ from _common import add_config_arg, load_cfg
 def main():
     parser = add_config_arg(argparse.ArgumentParser(description=__doc__))
     parser.add_argument("--batch", type=int, default=256)
-    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--iters", type=int, default=16, help="scan length per jit call")
+    parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--ntx", type=int, default=4)
     parser.add_argument("--nrx", type=int, default=4)
     parser.add_argument("--channel", default="ETU")
+    parser.add_argument("--roundtrip", action="store_true")
+    parser.add_argument("--train", action="store_true", help="include train-step bench")
     parser.add_argument("--out", default=None, help="write JSON results here")
     args = parser.parse_args()
 
     import dataclasses
-    import functools
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ce5g_jax_cache")
 
     from ce5g_tpu import MIMOConfig
     from ce5g_tpu.estimators.api import estimate_batch
@@ -40,39 +51,55 @@ def main():
         load_cfg(args), mimo=MIMOConfig(num_tx=args.ntx, num_rx=args.nrx)
     )
     table = table_for(cfg)
-    b = args.batch
+    b, iters, reps = args.batch, args.iters, args.reps
 
-    def params_for(i):
-        return FrameParams(
-            jnp.full((b,), PROFILE_INDEX[args.channel], jnp.int32),
-            jnp.full((b,), 200.0, jnp.float32),
-            jnp.full((b,), 10.0, jnp.float32),
-            jnp.full((b,), 0.1, jnp.float32),
-        )
-
+    params = FrameParams(
+        jnp.full((b,), PROFILE_INDEX[args.channel], jnp.int32),
+        jnp.full((b,), 200.0, jnp.float32),
+        jnp.full((b,), 10.0, jnp.float32),
+        jnp.full((b,), 0.1, jnp.float32),
+    )
     results = {}
 
-    def bench(name, fn):
-        float(fn(jax.random.split(jax.random.key(10**6), b), params_for(0)))
-        t0 = time.time()
-        for i in range(args.iters):
-            keys = jax.random.split(jax.random.key(i + 1), b)
-            float(fn(keys, params_for(i)))
-        dt = (time.time() - t0) / args.iters
-        fps = b / dt
-        results[name] = {"ms_per_batch": dt * 1e3, "frames_per_s": fps}
-        print(f"{name:26s} {dt * 1e3:8.1f} ms/batch  {fps:10.0f} frames/s",
-              file=sys.stderr)
+    def keys_for(seed):
+        return jax.random.split(jax.random.key(seed), iters * b).reshape(iters, b)
 
-    def sim_only(keys, params):
-        f = simulate_batch(keys, params, cfg=cfg, table=table)
+    def bench_sustained(name, per_batch_fn):
+        @jax.jit
+        def many(keys2d):
+            def body(c, ks):
+                return c + per_batch_fn(ks), None
+
+            tot, _ = jax.lax.scan(body, jnp.float32(0.0), keys2d)
+            return tot
+
+        float(many(keys_for(0)))  # compile + warm
+        t0 = time.time()
+        for r in range(reps):
+            float(many(keys_for(r + 1)))
+        dt = (time.time() - t0) / reps / iters
+        results[name] = {"ms_per_batch": dt * 1e3, "frames_per_s": b / dt}
+        print(f"{name:28s} {dt * 1e3:8.2f} ms/batch  {b / dt:10.0f} frames/s",
+              file=sys.stderr, flush=True)
+        if args.roundtrip:
+            one = jax.jit(per_batch_fn)
+            float(one(keys_for(0)[0]))
+            t0 = time.time()
+            for r in range(reps):
+                float(one(keys_for(r + 1)[0]))
+            rt = (time.time() - t0) / reps
+            results[name]["roundtrip_ms"] = rt * 1e3
+            print(f"{'':28s} {rt * 1e3:8.2f} ms round-trip", file=sys.stderr)
+
+    def sim_only(ks):
+        f = simulate_batch(ks, params, cfg=cfg, table=table)
         return (
             jnp.sum(jnp.abs(f.rx_symbols) ** 2)
             + jnp.sum(jnp.abs(f.channel) ** 2)
             + jnp.sum(f.pilot_mask)
         )
 
-    bench("simulate", jax.jit(sim_only))
+    bench_sustained("simulate", sim_only)
 
     for est, meth in [
         ("ls", "nearest"),
@@ -80,17 +107,121 @@ def main():
         ("mmse", "linear"),
         ("mmse_full", "linear"),
     ]:
-        def full(keys, params, est=est, meth=meth):
-            f = simulate_batch(keys, params, cfg=cfg, table=table)
+        def full(ks, est=est, meth=meth):
+            f = simulate_batch(ks, params, cfg=cfg, table=table)
             h = estimate_batch(f, cfg=cfg, estimator=est, method=meth, table=table)
             return jnp.sum(jnp.abs(h) ** 2)
 
-        bench(f"sim+{est}/{meth}", jax.jit(full))
+        bench_sustained(f"sim+{est}/{meth}", full)
+
+    # ---- batched HPD solve: Pallas kernel vs XLA custom-calls
+    from ce5g_tpu.ops.hpd_solve_pallas import MAX_N, _xla_solve, hpd_solve
+
+    n, r_rhs = 45, args.nrx
+    kp = jax.random.key(5)
+    x = jax.random.normal(kp, (b, n, n)) + 1j * jax.random.normal(kp, (b, n, n))
+    gram = (
+        jnp.einsum("bij,bkj->bik", x, jnp.conj(x)).astype(jnp.complex64)
+        + n * jnp.eye(n, dtype=jnp.complex64)
+    )
+    rhs = jax.random.normal(kp, (b, n, r_rhs)).astype(jnp.complex64)
+    on_tpu = jax.default_backend() == "tpu"
+    for name, fn in [
+        ("hpd_solve/xla", jax.jit(lambda g, r: jnp.sum(jnp.abs(_xla_solve(g, r))))),
+    ] + (
+        [("hpd_solve/pallas", jax.jit(lambda g, r: jnp.sum(jnp.abs(hpd_solve(g, r, force="pallas")))))]
+        if on_tpu and n <= MAX_N
+        else []
+    ):
+        float(fn(gram, rhs))
+        t0 = time.time()
+        for _ in range(reps):
+            float(fn(gram + 0.0, rhs))
+        dt = (time.time() - t0) / reps
+        results[name] = {"ms_per_batch": dt * 1e3}
+        print(f"{name:28s} {dt * 1e3:8.2f} ms/batch({b}x{n}x{n})",
+              file=sys.stderr, flush=True)
+
+    # ---- host codec throughput (native vs npz) on one realistic chunk
+    from ce5g_tpu.data.ce5g_format import read_ce5g, write_ce5g
+    from ce5g_tpu.native import have_native
+    import tempfile, os
+    from pathlib import Path
+
+    rng = np.random.default_rng(0)
+    s_sym, k_sc = cfg.ofdm.num_symbols, cfg.ofdm.num_used_subcarriers
+    chunk = {
+        "H_true": (rng.standard_normal((64, s_sym, args.nrx, args.ntx, k_sc))
+                   + 1j * rng.standard_normal((64, s_sym, args.nrx, args.ntx, k_sc))
+                   ).astype(np.complex64),
+        "rx_symbols": (rng.standard_normal((64, s_sym, args.nrx, k_sc))).astype(np.float32),
+    }
+    nbytes = sum(a.nbytes for a in chunk.values())
+    with tempfile.TemporaryDirectory() as td:
+        p = Path(td) / "c.ce5g"
+        t0 = time.time(); write_ce5g(p, chunk); w = time.time() - t0
+        t0 = time.time(); read_ce5g(p); r = time.time() - t0
+        ratio = os.path.getsize(p) / nbytes
+        t0 = time.time(); np.savez_compressed(Path(td) / "c.npz", **chunk)
+        wn = time.time() - t0
+    results["codec"] = {
+        "native": have_native(),
+        "write_MBps": nbytes / w / 1e6,
+        "read_MBps": nbytes / r / 1e6,
+        "npz_write_MBps": nbytes / wn / 1e6,
+        "ratio": ratio,
+    }
+    print(
+        f"{'codec (native=' + str(have_native()) + ')':28s} "
+        f"write {nbytes / w / 1e6:6.0f} MB/s  read {nbytes / r / 1e6:6.0f} MB/s  "
+        f"(npz write {nbytes / wn / 1e6:5.0f} MB/s)  ratio {ratio:.3f}",
+        file=sys.stderr, flush=True,
+    )
+
+    # ---- train step (optional: two extra compiles)
+    if args.train:
+        from flax import nnx
+        import optax
+        from ce5g_tpu.models import get_model
+        from ce5g_tpu.models.loss import channel_estimation_loss
+
+        bt = 64
+        xb = jnp.ones((bt, s_sym, k_sc, 5), jnp.float32)
+        yb = jnp.ones((bt, s_sym, k_sc, 2), jnp.float32)
+        mb = jnp.ones((bt, s_sym, k_sc), jnp.float32)
+        for dtype, name in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
+            model = get_model("cnn", cfg.model, dtype=dtype, seed=0)
+            opt = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+
+            @nnx.jit
+            def step(model, opt, x, y, m):
+                def loss_fn(mm):
+                    pred = mm(x, train=True)
+                    return channel_estimation_loss(
+                        pred.astype(jnp.float32), y, m, "mse"
+                    )
+
+                loss, grads = nnx.value_and_grad(loss_fn)(model)
+                opt.update(model, grads)
+                return loss
+
+            float(step(model, opt, xb, yb, mb))
+            t0 = time.time()
+            nst = 10
+            last = None
+            for _ in range(nst):
+                last = step(model, opt, xb, yb, mb)
+            jax.block_until_ready(last)
+            dt = (time.time() - t0) / nst
+            results[f"train_step_cnn/{name}"] = {
+                "ms_per_step": dt * 1e3,
+                "samples_per_s": bt / dt,
+            }
+            print(f"{'train_step_cnn/' + name:28s} {dt * 1e3:8.1f} ms/step "
+                  f"{bt / dt:10.0f} samples/s", file=sys.stderr, flush=True)
 
     print(json.dumps(results))
     if args.out:
-        from pathlib import Path
-
         Path(args.out).write_text(json.dumps(results, indent=2))
 
 
