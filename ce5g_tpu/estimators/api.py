@@ -19,6 +19,26 @@ from .ls import ls_estimate
 from .mmse import mmse_diag_estimate, mmse_full_estimate
 
 
+def _bessel_j0_np(x):
+    """NumPy port of :func:`..estimators.mmse.bessel_j0` (A&S 9.4.1/9.4.3
+    rational approximations, |err| < 1e-7) for host-side rank sizing."""
+    import numpy as np
+
+    x = np.abs(np.asarray(x, np.float64))
+    t = (x / 3.0) ** 2
+    small = 1.0 + t * (-2.2499997 + t * (1.2656208 + t * (-0.3163866
+        + t * (0.0444479 + t * (-0.0039444 + t * 0.0002100)))))
+    xs = np.maximum(x, 3.0)
+    u = 3.0 / xs
+    f0 = (0.79788456 + u * (-0.00000077 + u * (-0.00552740 + u * (-0.00009512
+        + u * (0.00137237 + u * (-0.00072805 + u * 0.00014476))))))
+    th0 = (xs - 0.78539816 + u * (-0.04166397 + u * (-0.00003954
+        + u * (0.00262573 + u * (-0.00054125 + u * (-0.00029333
+        + u * 0.00013558))))))
+    large = f0 * np.cos(th0) / np.sqrt(xs)
+    return np.where(x <= 3.0, small, large)
+
+
 def auto_time_rank(cfg: ExperimentConfig) -> Optional[int]:
     """Static Legendre-projection rank for the mmse_full time prior.
 
@@ -42,8 +62,10 @@ def auto_time_rank(cfg: ExperimentConfig) -> Optional[int]:
 
     s = cfg.ofdm.num_symbols
     fd_max = max(cfg.channel.doppler_hz)
-    from scipy.special import j0 as _j0  # host-side; device uses the A&S
-    # rational approx (|err|<1e-7 — immaterial at the 1e-5 tolerance)
+    # host-side J0 via the same A&S 9.4.1/9.4.3 rational approximations the
+    # device path uses (estimators/mmse.py:bessel_j0); |err| < 1e-7 is
+    # immaterial at the 1e-5 tolerance. No scipy runtime dependency.
+    _j0 = _bessel_j0_np
 
     ds = np.arange(s, dtype=np.float64)
     tau = 2.0 * np.pi * fd_max * (ds[:, None] - ds[None, :]) * cfg.ofdm.symbol_duration

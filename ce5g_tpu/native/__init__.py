@@ -120,11 +120,24 @@ def compress_blocks(
         bound = lib.ce5g_bound(block_size)
         dst = ctypes.create_string_buffer(max(nblocks * bound, 1))
         sizes = (ctypes.c_int64 * max(nblocks, 1))()
+        # Zero-copy input: wrap the caller's buffer directly instead of
+        # materializing bytes(data) (hundreds of MB of memcpy per chunk).
+        if data.readonly:
+            base = data.obj
+            src = base if isinstance(base, bytes) and len(base) == n else bytes(data)
+        else:
+            src = (ctypes.c_char * n).from_buffer(data)
         total = lib.ce5g_compress(
-            bytes(data), n, block_size, level, itemsize, nthreads, dst, sizes
+            src, n, block_size, level, itemsize, nthreads, dst, sizes
         )
         if total >= 0:
-            return dst.raw[:total], list(sizes[:nblocks]), "zstd-shuffle"
+            # string_at copies exactly `total` bytes once (dst.raw[:total]
+            # would copy the full nblocks·bound staging buffer first).
+            return (
+                ctypes.string_at(dst, total),
+                list(sizes[:nblocks]),
+                "zstd-shuffle",
+            )
         # fall through to Python backend on native error
 
     import zlib
@@ -163,8 +176,14 @@ def decompress_blocks(
                 "library is unavailable on this host (no g++/zstd)"
             )
         sizes = (ctypes.c_int64 * max(len(block_sizes), 1))(*block_sizes)
+        pk = memoryview(packed).cast("B")
+        if pk.readonly:
+            base = pk.obj
+            src = base if isinstance(base, bytes) and len(base) == len(pk) else bytes(pk)
+        else:
+            src = (ctypes.c_char * len(pk)).from_buffer(pk)
         rc = lib.ce5g_decompress(
-            bytes(packed), sizes, len(block_sizes), block_size, raw_total,
+            src, sizes, len(block_sizes), block_size, raw_total,
             itemsize, nthreads,
             (ctypes.c_char * raw_total).from_buffer(out),
         )

@@ -72,7 +72,9 @@ def _kernel(ar_ref, ai_ref, br_ref, bi_ref, xr_ref, xi_ref, lr_ref, li_ref,
         c_r = a_r - s_r
         c_i = a_i - s_i
         d = jnp.sum(c_r * oh, axis=0)  # (L,) real pivot
-        inv = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+        # Non-PD pivot → NaN, matching the XLA cholesky failure signaling
+        # (a clamped rsqrt would silently produce finite garbage instead).
+        inv = jnp.where(d > 0.0, jax.lax.rsqrt(jnp.maximum(d, 1e-30)), jnp.nan)
         l_r = c_r * inv[None, :] * ge
         l_i = c_i * inv[None, :] * ge * (1.0 - oh)  # exact-real diagonal
         lr_ref[j] = l_r

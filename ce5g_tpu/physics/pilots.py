@@ -96,13 +96,20 @@ def comb_pattern(
     mask = (((k_idx - offset) % step) == 0).astype(jnp.float32)
 
     flat_idx = jnp.argsort(-mask.reshape(-1), stable=True)[:p_max].astype(jnp.int32)
-    count = jnp.sum(mask).astype(jnp.int32)
+    count = jnp.minimum(jnp.sum(mask).astype(jnp.int32), p_max)
     positions = jnp.stack(
         [flat_idx // num_subcarriers, flat_idx % num_subcarriers], axis=-1
     )
-    valid = (jnp.arange(p_max) < jnp.minimum(count, p_max)).astype(jnp.float32)
-    # Zero mask entries beyond P_max capacity (keeps contract consistent).
-    return PilotPattern(mask, positions, valid, jnp.minimum(count, p_max))
+    valid = (jnp.arange(p_max) < count).astype(jnp.float32)
+    # Zero mask entries beyond P_max capacity so mask consumers (mmse_full)
+    # and positions consumers (LS/diag-MMSE) always see the same pilot set.
+    mask = (
+        jnp.zeros(total, jnp.float32)
+        .at[flat_idx]
+        .max(valid)
+        .reshape(num_symbols, num_subcarriers)
+    )
+    return PilotPattern(mask, positions, valid, count)
 
 
 def block_pattern(
@@ -133,7 +140,14 @@ def block_pattern(
         [flat_idx // num_subcarriers, flat_idx % num_subcarriers], axis=-1
     )
     valid = (jnp.arange(p_max) < count).astype(jnp.float32)
-    return PilotPattern(mask.astype(jnp.float32), positions, valid, count)
+    # Cap the mask at P_max capacity (same contract as comb_pattern).
+    mask = (
+        jnp.zeros(total, jnp.float32)
+        .at[flat_idx]
+        .max(valid)
+        .reshape(num_symbols, num_subcarriers)
+    )
+    return PilotPattern(mask, positions, valid, count)
 
 
 _PATTERNS = {

@@ -160,6 +160,24 @@ class TestPilots:
         assert abs(realized - 0.1) < 0.05  # reference tolerance ±5% absolute
         assert int(p.num_pilots) == float(p.valid.sum())
 
+    @pytest.mark.parametrize("pattern", ["scattered", "comb", "block"])
+    def test_mask_positions_consistent_at_max_density(self, pattern):
+        """mask and (positions, valid) must describe the SAME pilot set even
+        when rounding pushes the pattern past P_max capacity — mmse_full
+        consumes the mask while LS consumes positions (VERDICT r2 item 7)."""
+        for density in (0.1, 0.15):
+            p = make_pattern(jax.random.key(3), 14, 599, density, pattern,
+                             max_density=0.15)
+            mask = np.asarray(p.mask)
+            valid = np.asarray(p.valid)
+            assert float(mask.sum()) == float(valid.sum())
+            pos = np.asarray(p.positions)[valid > 0]
+            assert mask[pos[:, 0], pos[:, 1]].all()
+            # every mask-1 RE appears among the valid slots
+            grid = np.zeros_like(mask)
+            grid[pos[:, 0], pos[:, 1]] = 1.0
+            np.testing.assert_array_equal(grid, mask)
+
 
 class TestOFDM:
     def test_roundtrip_identity(self, cfg):
