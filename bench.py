@@ -119,6 +119,11 @@ def main():
                 "value": round(frames_per_s, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(frames_per_s / REF_FRAMES_PER_S, 1),
+                # compile+first-run seconds (cached reload when the
+                # persistent cache is warm) — tracked so compile-time
+                # regressions are visible round over round
+                "compile_s": round(compile_s, 1),
+                "nmse_db": round(float(10 * jnp.log10(nmse)), 2),
             }
         )
     )

@@ -1,5 +1,5 @@
 from .ber import ber_frame, ber_sweep, simulate_qam_frame
-from .evaluate import ModelEvaluator, evaluate_baselines
+from .evaluate import ModelEvaluator, evaluate_baselines, evaluate_estimators
 from .pilot_opt import PilotOptimizer
 from .report import (
     generate_evaluation_report,
@@ -16,6 +16,7 @@ __all__ = [
     "simulate_qam_frame",
     "ModelEvaluator",
     "evaluate_baselines",
+    "evaluate_estimators",
     "PilotOptimizer",
     "generate_evaluation_report",
     "generate_final_report",

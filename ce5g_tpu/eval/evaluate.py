@@ -65,6 +65,108 @@ def evaluate_baselines(ds: ChannelDataset, num_samples: Optional[int] = None) ->
     }
 
 
+def _frames_from_arrays(arrays: Dict, idx: np.ndarray, cfg: ExperimentConfig):
+    """Rebuild fixed-shape Frame batches from stored dataset arrays so the
+    REAL estimators can be re-run on the test split (the dataset stores the
+    pilot mask; the positions/valid slot table is reconstructed here —
+    row-major argwhere order matches the generator's linear-index order)."""
+    from ..physics.profiles import PROFILE_INDEX
+    from ..physics.simulate import Frame, FrameParams
+
+    s = cfg.ofdm.num_symbols
+    k = cfg.ofdm.num_used_subcarriers
+    p_max = int(s * k * cfg.pilots.max_density)
+    b = len(idx)
+    masks = np.asarray(arrays["pilot_mask"][idx], np.float32)
+    positions = np.zeros((b, p_max, 2), np.int32)
+    valid = np.zeros((b, p_max), np.float32)
+    counts = np.zeros((b,), np.int32)
+    for i in range(b):
+        pos = np.argwhere(masks[i] > 0).astype(np.int32)
+        n = min(len(pos), p_max)
+        positions[i, :n] = pos[:n]
+        valid[i, :n] = 1.0
+        counts[i] = n
+    if "profile_idx" in arrays:
+        prof = np.asarray(arrays["profile_idx"][idx], np.int32)
+    else:  # merged npz stores channel_type strings (reference parity format)
+        prof = np.asarray(
+            [PROFILE_INDEX[str(c)] for c in arrays["channel_type"][idx]], np.int32
+        )
+    params = FrameParams(
+        profile_idx=jnp.asarray(prof),
+        doppler_hz=jnp.asarray(arrays["doppler_hz"][idx], jnp.float32),
+        snr_db=jnp.asarray(arrays["snr_db"][idx], jnp.float32),
+        pilot_density=jnp.asarray(arrays["pilot_density"][idx], jnp.float32),
+    )
+    return Frame(
+        tx_symbols=jnp.asarray(arrays["tx_symbols"][idx]),
+        rx_symbols=jnp.asarray(arrays["rx_symbols"][idx]),
+        channel=jnp.asarray(arrays["H_true"][idx]),
+        pilot_mask=jnp.asarray(masks),
+        pilot_positions=jnp.asarray(positions),
+        pilot_valid=jnp.asarray(valid),
+        num_pilots=jnp.asarray(counts),
+        params=params,
+    )
+
+
+def evaluate_estimators(
+    ds: ChannelDataset,
+    cfg: ExperimentConfig,
+    estimators=("ls", "mmse", "mmse_full"),
+    num_samples: Optional[int] = None,
+    batch_size: int = 64,
+    method: Optional[str] = None,
+) -> Dict:
+    """Re-run the real classical estimators on the test split with timing.
+
+    Parity surface: reference src/evaluate.py:60-80 — each baseline's
+    ``estimate()`` is actually executed and timed per call, so the
+    comparison table carries a latency column for every method, not just
+    the neural ones. Latency here is steady-state (first batch excluded:
+    it pays XLA compile) measured with ``block_until_ready``.
+    """
+    import functools
+
+    from ..estimators.api import estimate_batch
+    from ..physics.simulate import table_for
+
+    method = method or cfg.pilots.interpolation
+    n = min(num_samples or len(ds), len(ds))
+    table = table_for(cfg)
+    h_true_all = ds.arrays["H_true"][:n]
+    results: Dict[str, Dict] = {}
+    for est in estimators:
+        fn = jax.jit(
+            functools.partial(
+                estimate_batch, cfg=cfg, estimator=est, method=method, table=table
+            )
+        )
+        nmses: List[float] = []
+        lat_ms: List[float] = []
+        for start in range(0, n, batch_size):
+            take = min(batch_size, n - start)  # new samples this batch
+            idx = np.arange(start, start + take)
+            if take < batch_size and n >= batch_size:
+                idx = np.arange(n - batch_size, n)  # realign: keep one shape
+            frames = _frames_from_arrays(ds.arrays, idx, cfg)
+            t0 = time.perf_counter()
+            h_est = jax.block_until_ready(fn(frames))
+            lat_ms.append((time.perf_counter() - t0) * 1000 / len(idx))
+            nm = _nmse_per_sample(h_true_all[idx], np.asarray(h_est, np.complex128))
+            nmses.extend(nm[-take:].tolist())
+        nmse = float(np.mean(nmses))
+        results[est] = {
+            "nmse": nmse,
+            "nmse_db": float(10 * np.log10(nmse + 1e-12)),
+            "latency_ms_per_sample": float(np.median(lat_ms[1:] or lat_ms)),
+            "num_samples": len(nmses),
+            "per_sample": nmses,
+        }
+    return results
+
+
 class ModelEvaluator:
     """Loads checkpoints and evaluates models on a test dataset."""
 
@@ -150,9 +252,11 @@ class ModelEvaluator:
         ds: ChannelDataset,
         model_types: List[str],
         num_samples: Optional[int] = None,
+        estimators=("mmse_full",),
     ) -> Dict:
         """Per-SNR NMSE + BER proxy for baselines and models
-        (run_phase5_evaluation.py:264-312)."""
+        (run_phase5_evaluation.py:264-312). ``estimators`` adds the real
+        re-run classical estimators next to the stored-H_ls baselines."""
         n = min(num_samples or len(ds), len(ds))
         snr = ds.arrays["snr_db"][:n]
         baselines = evaluate_baselines(ds, n)
@@ -161,6 +265,10 @@ class ModelEvaluator:
             "LS": np.asarray(baselines["per_sample"]["LS"]),
             "MMSE": np.asarray(baselines["per_sample"]["MMSE"]),
         }
+        if estimators:
+            full = evaluate_estimators(ds, self.cfg, estimators, n)
+            for est, r in full.items():
+                per_method[est] = np.asarray(r["per_sample"])
         for mt in model_types:
             r = self.evaluate_model(mt, ds, n)
             per_method[mt] = np.asarray(r["per_sample_nmse"])

@@ -102,3 +102,44 @@ class ChannelDataset:
             k: self.arrays[k][idx]
             for k in ("snr_db", "channel_type", "doppler_hz", "pilot_density")
         }
+
+
+class DeviceDataset:
+    """A whole split resident in device HBM as prebuilt NHWC tensors.
+
+    TPU-first rationale: per-batch host staging pushes ~12 MB through the
+    host↔device link every step — on a tunneled dev chip that is 10-20×
+    the step's compute time, so the host link (not the MXU) sets training
+    throughput. Instead the tensorized split is transferred ONCE
+    (inputs (N,S,K,5) f32 + targets (N,S,K,2) f32 ≈ 0.28 MB/sample) and
+    every epoch runs as a device-side scan that gathers shuffled batches
+    from HBM — zero host↔device traffic per step. 20k samples ≈ 4.7 GB,
+    comfortably inside a v5e's 16 GB.
+
+    The pilot mask is NOT stored separately — it is channel 4 of the
+    input tensor; consumers slice ``inputs[..., 4]``.
+    """
+
+    def __init__(self, ds: ChannelDataset, build_chunk: int = 1024, device=None):
+        import jax
+
+        n = len(ds)
+        s, k = ds.grid_shape
+        inputs = np.empty((n, s, k, 5), np.float32)
+        targets = np.empty((n, s, k, 2), np.float32)
+        for start in range(0, n, build_chunk):
+            idx = np.arange(start, min(start + build_chunk, n))
+            b = ds.make_batch(idx)
+            inputs[start : start + len(idx)] = b.inputs
+            targets[start : start + len(idx)] = b.targets
+        self.stats = ds.stats
+        self.inputs = jax.device_put(inputs, device)
+        self.targets = jax.device_put(targets, device)
+
+    def __len__(self) -> int:
+        return self.inputs.shape[0]
+
+    @property
+    def grid_shape(self) -> Tuple[int, int]:
+        _, s, k, _ = self.inputs.shape
+        return s, k

@@ -33,7 +33,7 @@ from ..config import ExperimentConfig
 from ..models.factory import count_parameters, get_model
 from ..models.loss import channel_estimation_loss
 from .checkpoint import load_checkpoint, save_checkpoint
-from .datasets import ChannelDataset
+from .datasets import ChannelDataset, DeviceDataset
 
 
 def lr_schedule_per_epoch(cfg, epoch: int, lr_scale: float = 1.0) -> float:
@@ -94,7 +94,13 @@ class Trainer:
         mesh: Optional[jax.sharding.Mesh] = None,
         log=print,
         tensorboard: bool = False,
+        device_data: Optional[bool] = None,
     ):
+        """``device_data``: train from HBM-resident tensors with one jit
+        scan per epoch (zero host↔device traffic per step) — the TPU-first
+        default. None = auto (on unless a mesh is given; the mesh path
+        stages per-batch so GSPMD keeps the batch axis sharded). False
+        forces the per-batch host-staging loop."""
         self.cfg = cfg
         self.model_type = model_type or cfg.model.type
         dtype = jnp.bfloat16 if cfg.training.mixed_precision else jnp.float32
@@ -114,7 +120,10 @@ class Trainer:
         self.epochs_without_improvement = 0
         self._lr_scale = 1.0
         self._plateau_wait = 0
+        self._start_epoch = 0
         self._is_lstm = self.model_type == "lstm"
+        self.device_data = device_data
+        self._dev_state = None  # (graphdef, state) once device mode starts
         self._step = self._build_step()
         self._eval_step = self._build_eval_step()
         self._scalar_log: List[Dict] = []
@@ -224,6 +233,95 @@ class Trainer:
             return 0.0
         return float(jnp.mean(jnp.stack(losses)))
 
+    # ----------------------------------------------- device-resident epochs
+    def _build_device_fns(self):
+        """jit epoch/val scans over HBM-resident tensors. One host
+        round-trip per epoch: the per-step losses fetch as one array."""
+        import functools
+
+        tr = self.cfg.training
+        is_lstm = self._is_lstm
+        graphdef, state = nnx.split((self.model, self.optimizer))
+        self._dev_graphdef = graphdef
+        self._dev_state = state
+
+        def _xy(inputs, targets, idx):
+            x, y = inputs[idx], targets[idx]
+            m = x[..., 4]
+            if is_lstm:
+                b, s, k, _ = x.shape
+                x = x[..., :4].reshape(b, s * k, 4)
+                y = y.reshape(b, s * k, 2)
+            return x, y, (None if is_lstm else m)
+
+        def _loss(model, x, y, m, train):
+            pred = model(x, train=train)
+            return channel_estimation_loss(
+                pred, y, m, tr.loss, tr.channel_weight, tr.pilot_weight
+            )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def epoch_fn(state, inputs, targets, idx2d, lr):
+            def body(st, idx):
+                model, optimizer = nnx.merge(graphdef, st)
+                optimizer.opt_state.hyperparams["learning_rate"][...] = lr
+                x, y, m = _xy(inputs, targets, idx)
+                loss, grads = nnx.value_and_grad(
+                    lambda m_: _loss(m_, x, y, m, True)
+                )(model)
+                optimizer.update(model, grads)
+                return nnx.state((model, optimizer)), loss
+
+            return jax.lax.scan(body, state, idx2d)
+
+        @jax.jit
+        def val_fn(state, inputs, targets, idx2d):
+            model, _ = nnx.merge(graphdef, state)
+
+            def body(c, idx):
+                x, y, m = _xy(inputs, targets, idx)
+                return c + _loss(model, x, y, m, False), None
+
+            tot, _ = jax.lax.scan(body, jnp.float32(0.0), idx2d)
+            return tot / idx2d.shape[0]
+
+        self._epoch_jit = epoch_fn
+        self._val_jit = val_fn
+
+    def _device_train_epoch(self, dd: DeviceDataset, epoch: int) -> float:
+        if self._dev_state is None:
+            self._build_device_fns()
+        bsz = self.cfg.training.batch_size
+        steps = len(dd) // bsz
+        if steps == 0:
+            return 0.0
+        lr = lr_schedule_per_epoch(self.cfg, epoch, self._lr_scale)
+        # same host-RNG shuffle semantics as the staged path
+        perm = np.random.default_rng(self.cfg.seed + epoch).permutation(len(dd))
+        idx2d = jnp.asarray(perm[: steps * bsz].reshape(steps, bsz), jnp.int32)
+        self._dev_state, losses = self._epoch_jit(
+            self._dev_state, dd.inputs, dd.targets, idx2d, jnp.float32(lr)
+        )
+        losses = np.asarray(losses)
+        for i in range(9, len(losses), 10):
+            self._log_scalar("train/batch_loss", epoch * 10000 + i + 1, float(losses[i]))
+        # write the updated params back into the live modules so
+        # checkpointing/evaluation see the post-epoch state
+        nnx.update((self.model, self.optimizer), self._dev_state)
+        return float(losses.mean())
+
+    def _device_validate(self, dd: DeviceDataset) -> float:
+        if self._dev_state is None:
+            self._build_device_fns()
+        bsz = self.cfg.training.batch_size
+        steps = len(dd) // bsz
+        if steps == 0:
+            return 0.0
+        idx2d = jnp.asarray(
+            np.arange(steps * bsz).reshape(steps, bsz), jnp.int32
+        )
+        return float(self._val_jit(self._dev_state, dd.inputs, dd.targets, idx2d))
+
     def _plateau_update(self, val_loss: float):
         """torch ReduceLROnPlateau(mode=min, patience=10, factor=0.1)."""
         if self.cfg.training.lr_scheduler != "plateau":
@@ -235,6 +333,41 @@ class Trainer:
             if self._plateau_wait > 10:
                 self._lr_scale *= 0.1
                 self._plateau_wait = 0
+
+    def _trainer_meta(self, epoch: int, val_loss: float) -> Dict:
+        """Everything needed to continue the loop exactly where it stopped
+        (reference utils.py:190-198 saves epoch + loss; we also carry the
+        scheduler/early-stop counters so the trajectory is bit-identical)."""
+        return {
+            "epoch": epoch,
+            "val_loss": val_loss,
+            "best_val_loss": self.best_val_loss,
+            "epochs_without_improvement": self.epochs_without_improvement,
+            "lr_scale": self._lr_scale,
+            "plateau_wait": self._plateau_wait,
+            "history": self.history,
+        }
+
+    def resume(self, path) -> int:
+        """Restore model + optimizer + loop counters from a resumable
+        checkpoint; returns the epoch to continue from. Parity:
+        run_phase4_training.py:241-259 / utils.py:201-208 (torch
+        load_state_dict of model AND optimizer, epoch counter restored)."""
+        meta = load_checkpoint(path, self.model, self.optimizer)
+        if "epoch" not in meta:
+            raise ValueError(f"checkpoint {path} has no epoch metadata")
+        self._start_epoch = int(meta["epoch"]) + 1
+        self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
+        self.epochs_without_improvement = int(
+            meta.get("epochs_without_improvement", 0)
+        )
+        self._lr_scale = float(meta.get("lr_scale", 1.0))
+        self._plateau_wait = int(meta.get("plateau_wait", 0))
+        hist = meta.get("history")
+        if hist:
+            self.history = {k: list(v) for k, v in hist.items()}
+        self.log(f"resumed from {path}: continuing at epoch {self._start_epoch + 1}")
+        return self._start_epoch
 
     def train(
         self,
@@ -252,10 +385,38 @@ class Trainer:
             f"{epochs} epochs, batch {cfg.training.batch_size}"
         )
 
-        for epoch in range(epochs):
+        # auto mode: on unless a mesh shards batches per step, or the model
+        # is the pure LSTM (its internal nnx.RNN scan cannot mutate RNG
+        # counts from inside the outer epoch lax.scan trace)
+        use_device = (
+            self.device_data
+            if self.device_data is not None
+            else (self.mesh is None and not self._is_lstm)
+        )
+        if use_device:
             t0 = time.time()
-            train_loss = self.train_epoch(train_ds, epoch)
-            val_loss = self.validate(val_ds)
+            dd_train = (
+                train_ds
+                if isinstance(train_ds, DeviceDataset)
+                else DeviceDataset(train_ds)
+            )
+            dd_val = (
+                val_ds if isinstance(val_ds, DeviceDataset) else DeviceDataset(val_ds)
+            )
+            self.log(
+                f"device-resident data: {len(dd_train)}+{len(dd_val)} samples "
+                f"staged to HBM in {time.time() - t0:.1f}s"
+            )
+
+        epoch, val_loss = self._start_epoch - 1, self.best_val_loss
+        for epoch in range(self._start_epoch, epochs):
+            t0 = time.time()
+            if use_device:
+                train_loss = self._device_train_epoch(dd_train, epoch)
+                val_loss = self._device_validate(dd_val)
+            else:
+                train_loss = self.train_epoch(train_ds, epoch)
+                val_loss = self.validate(val_ds)
             self._plateau_update(val_loss)
             dt = time.time() - t0
             lr = lr_schedule_per_epoch(cfg, epoch, self._lr_scale)
@@ -287,12 +448,20 @@ class Trainer:
             else:
                 self.epochs_without_improvement += 1
 
+            # Rolling resumable checkpoint (model + optimizer + counters):
+            # a killed run continues from here with an identical trajectory.
+            save_checkpoint(
+                model_dir / f"{self.model_type}_last",
+                self.model,
+                self.optimizer,
+                **self._trainer_meta(epoch, val_loss),
+            )
             if (epoch + 1) % cfg.training.save_freq == 0:
                 save_checkpoint(
                     model_dir / f"{self.model_type}_epoch_{epoch + 1}",
                     self.model,
-                    epoch=epoch,
-                    val_loss=val_loss,
+                    self.optimizer,
+                    **self._trainer_meta(epoch, val_loss),
                 )
 
             if (

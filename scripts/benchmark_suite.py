@@ -32,6 +32,14 @@ def main():
     parser.add_argument("--channel", default="ETU")
     parser.add_argument("--roundtrip", action="store_true")
     parser.add_argument("--train", action="store_true", help="include train-step bench")
+    parser.add_argument(
+        "--train-models", nargs="*", default=["cnn"],
+        help="model types for the train-step sweep (with --train)",
+    )
+    parser.add_argument(
+        "--train-batches", nargs="*", type=int, default=[64],
+        help="batch sizes for the train-step sweep (with --train)",
+    )
     parser.add_argument("--out", default=None, help="write JSON results here")
     args = parser.parse_args()
 
@@ -61,6 +69,53 @@ def main():
     )
     results = {}
 
+    # ---- roofline peaks for MFU accounting (per chip). TPU v5e (aka
+    # "TPU v5 lite"): 197 TFLOP/s bf16 MXU, ~1/2 that for f32-accumulated
+    # work, 819 GB/s HBM. Unknown devices fall back to v5e numbers with a
+    # note — utilization is then indicative, not exact.
+    dev_kind = jax.devices()[0].device_kind.lower()
+    PEAKS = {
+        "tpu v5 lite": {"flops": 197e12, "hbm_Bps": 819e9},
+        "tpu v4": {"flops": 275e12, "hbm_Bps": 1228e9},
+        "cpu": {"flops": 1e11, "hbm_Bps": 50e9},
+    }
+    peak = PEAKS.get(dev_kind) or PEAKS["tpu v5 lite" if "tpu" in dev_kind else "cpu"]
+
+    def cost_per_iter(compiled, n_iters):
+        """XLA's own per-program cost model → (flops, HBM bytes) per scan
+        iteration. Returns (0, 0) where the backend exposes no analysis."""
+        try:
+            c = compiled.cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            return (
+                float(c.get("flops", 0.0)) / n_iters,
+                float(c.get("bytes accessed", 0.0)) / n_iters,
+            )
+        except Exception:
+            return 0.0, 0.0
+
+    def add_roofline(name, dt_s, flops, hbm_bytes):
+        """Record achieved-vs-peak utilization and the binding resource."""
+        if not flops and not hbm_bytes:
+            return
+        mfu = flops / dt_s / peak["flops"]
+        hbm = hbm_bytes / dt_s / peak["hbm_Bps"]
+        results[name].update(
+            {
+                "flops_per_batch": flops,
+                "hbm_bytes_per_batch": hbm_bytes,
+                "mfu": mfu,
+                "hbm_util": hbm,
+                "bound": "hbm" if hbm >= mfu else "mxu",
+            }
+        )
+        print(
+            f"{'':28s} roofline: {mfu * 100:5.1f}% MXU  {hbm * 100:5.1f}% HBM "
+            f"→ {results[name]['bound']}-bound",
+            file=sys.stderr, flush=True,
+        )
+
     def keys_for(seed):
         return jax.random.split(jax.random.key(seed), iters * b).reshape(iters, b)
 
@@ -73,14 +128,16 @@ def main():
             tot, _ = jax.lax.scan(body, jnp.float32(0.0), keys2d)
             return tot
 
-        float(many(keys_for(0)))  # compile + warm
+        compiled = many.lower(keys_for(0)).compile()
+        float(compiled(keys_for(0)))  # warm
         t0 = time.time()
         for r in range(reps):
-            float(many(keys_for(r + 1)))
+            float(compiled(keys_for(r + 1)))
         dt = (time.time() - t0) / reps / iters
         results[name] = {"ms_per_batch": dt * 1e3, "frames_per_s": b / dt}
         print(f"{name:28s} {dt * 1e3:8.2f} ms/batch  {b / dt:10.0f} frames/s",
               file=sys.stderr, flush=True)
+        add_roofline(name, dt, *cost_per_iter(compiled, iters))
         if args.roundtrip:
             one = jax.jit(per_batch_fn)
             float(one(keys_for(0)[0]))
@@ -178,47 +235,81 @@ def main():
         file=sys.stderr, flush=True,
     )
 
-    # ---- train step (optional: two extra compiles)
+    # ---- train-step sweep: models × batch sizes × dtypes, with roofline
+    # and an input-staging overlap probe (does host batch prep hide behind
+    # device compute under async dispatch?)
     if args.train:
         from flax import nnx
         import optax
         from ce5g_tpu.models import get_model
         from ce5g_tpu.models.loss import channel_estimation_loss
 
-        bt = 64
-        xb = jnp.ones((bt, s_sym, k_sc, 5), jnp.float32)
-        yb = jnp.ones((bt, s_sym, k_sc, 2), jnp.float32)
-        mb = jnp.ones((bt, s_sym, k_sc), jnp.float32)
-        for dtype, name in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
-            model = get_model("cnn", cfg.model, dtype=dtype, seed=0)
-            opt = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+        rng_host = np.random.default_rng(0)
+        for model_type in args.train_models:
+            for bt in args.train_batches:
+                xb = jnp.ones((bt, s_sym, k_sc, 5), jnp.float32)
+                yb = jnp.ones((bt, s_sym, k_sc, 2), jnp.float32)
+                mb = jnp.ones((bt, s_sym, k_sc), jnp.float32)
+                for dtype, dname in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
+                    model = get_model(model_type, cfg.model, dtype=dtype, seed=0)
+                    opt = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
 
-            @nnx.jit
-            def step(model, opt, x, y, m):
-                def loss_fn(mm):
-                    pred = mm(x, train=True)
-                    return channel_estimation_loss(
-                        pred.astype(jnp.float32), y, m, "mse"
-                    )
+                    @nnx.jit
+                    def step(model, opt, x, y, m):
+                        def loss_fn(mm):
+                            pred = mm(x, train=True)
+                            return channel_estimation_loss(
+                                pred.astype(jnp.float32), y, m, "mse"
+                            )
 
-                loss, grads = nnx.value_and_grad(loss_fn)(model)
-                opt.update(model, grads)
-                return loss
+                        loss, grads = nnx.value_and_grad(loss_fn)(model)
+                        opt.update(model, grads)
+                        return loss
 
-            float(step(model, opt, xb, yb, mb))
-            t0 = time.time()
-            nst = 10
-            last = None
-            for _ in range(nst):
-                last = step(model, opt, xb, yb, mb)
-            jax.block_until_ready(last)
-            dt = (time.time() - t0) / nst
-            results[f"train_step_cnn/{name}"] = {
-                "ms_per_step": dt * 1e3,
-                "samples_per_s": bt / dt,
-            }
-            print(f"{'train_step_cnn/' + name:28s} {dt * 1e3:8.1f} ms/step "
-                  f"{bt / dt:10.0f} samples/s", file=sys.stderr, flush=True)
+                    name = f"train_step_{model_type}/b{bt}/{dname}"
+                    float(step(model, opt, xb, yb, mb))
+                    nst = 10
+                    t0 = time.time()
+                    last = None
+                    for _ in range(nst):
+                        last = step(model, opt, xb, yb, mb)
+                    jax.block_until_ready(last)
+                    dt = (time.time() - t0) / nst
+                    results[name] = {
+                        "ms_per_step": dt * 1e3,
+                        "samples_per_s": bt / dt,
+                    }
+                    print(f"{name:28s} {dt * 1e3:8.1f} ms/step "
+                          f"{bt / dt:10.0f} samples/s", file=sys.stderr, flush=True)
+                    # Per-step roofline via XLA cost analysis on the jitted
+                    # step (nnx.jit caches by state structure; re-lowering
+                    # gives the compiled's cost tables).
+                    try:
+                        c = step.lower(model, opt, xb, yb, mb).compile()
+                        fl, byt = cost_per_iter(c, 1)
+                        add_roofline(name, dt, fl, byt)
+                    except Exception:
+                        pass
+
+                    if dname == "bf16":
+                        # Overlap probe: same step but every iteration
+                        # stages a FRESH host numpy batch (Trainer path).
+                        # ratio ≈ 1.0 → staging fully hidden by compute.
+                        hx = rng_host.standard_normal(
+                            (nst, bt, s_sym, k_sc, 5)).astype(np.float32)
+                        t0 = time.time()
+                        last = None
+                        for i in range(nst):
+                            last = step(model, opt, jnp.asarray(hx[i]), yb, mb)
+                        jax.block_until_ready(last)
+                        dt_staged = (time.time() - t0) / nst
+                        results[name]["staged_ms_per_step"] = dt_staged * 1e3
+                        results[name]["staging_overhead"] = dt_staged / dt - 1.0
+                        print(
+                            f"{'':28s} host-staged: {dt_staged * 1e3:8.1f} ms/step "
+                            f"({(dt_staged / dt - 1) * 100:+.0f}% vs device-resident)",
+                            file=sys.stderr, flush=True,
+                        )
 
     print(json.dumps(results))
     if args.out:

@@ -16,6 +16,11 @@ def main():
     parser.add_argument("--num-samples", type=int, default=None)
     parser.add_argument("--snr-sweep", action="store_true")
     parser.add_argument("--no-plots", action="store_true")
+    parser.add_argument(
+        "--estimators", nargs="*", default=["ls", "mmse", "mmse_full"],
+        help="real classical estimators to re-run and time on the test set "
+        "(reference evaluate.py:60-80 latency parity); pass none to skip",
+    )
     args = parser.parse_args()
 
     from pathlib import Path
@@ -25,6 +30,7 @@ def main():
     from ce5g_tpu.eval import (
         ModelEvaluator,
         evaluate_baselines,
+        evaluate_estimators,
         generate_evaluation_report,
         plot_comparison,
         plot_snr_sweep,
@@ -43,6 +49,14 @@ def main():
         "LS": results["LS"],
         "MMSE": results["MMSE"],
     }
+    if args.estimators:
+        full = evaluate_estimators(test_ds, cfg, args.estimators, args.num_samples)
+        for est, r in full.items():
+            r = dict(r)
+            r.pop("per_sample", None)
+            all_results[est] = r
+            print(f"{est}: NMSE {r['nmse_db']:.2f} dB, "
+                  f"{r['latency_ms_per_sample']:.3f} ms/sample")
     for m in args.models:
         try:
             r = ev.evaluate_model(m, test_ds, args.num_samples)

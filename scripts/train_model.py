@@ -28,6 +28,10 @@ def main():
         help="phase-6 per-model optimizer policy (warm restarts etc.)",
     )
     parser.add_argument("--evaluate", action="store_true", help="evaluate on test split")
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="continue from <model-dir>/<model>_last (model+optimizer+epoch)",
+    )
     args = parser.parse_args()
 
     import dataclasses
@@ -63,6 +67,12 @@ def main():
         mesh = make_mesh()
 
     trainer = Trainer(cfg, model_type=args.model, mesh=mesh)
+    if args.resume:
+        last = Path(args.model_dir) / f"{args.model}_last"
+        if last.exists():
+            trainer.resume(last)
+        else:
+            print(f"no resumable checkpoint at {last}; starting fresh")
     result = trainer.train(train_ds, val_ds, model_dir=args.model_dir)
     print(f"best val loss: {result['best_val_loss']:.6f} "
           f"({result['epochs_run']} epochs)")

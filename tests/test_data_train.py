@@ -118,6 +118,35 @@ class TestTraining:
         assert meta["epoch"] == 3
         np.testing.assert_allclose(np.asarray(m1(x)), np.asarray(m2(x)), atol=1e-6)
 
+    def test_resume_matches_unbroken_run(self, tiny_cfg, data_dir, tmp_path):
+        """Kill-and-resume parity (reference run_phase4_training.py:241-259):
+        2 epochs + resume + 2 epochs must produce the same loss trajectory
+        as 4 unbroken epochs — optimizer state, scheduler counters, AND
+        dropout RNG streams all restored from the rolling _last checkpoint."""
+        train_ds = ChannelDataset(str(data_dir / "train_manifest.json"))
+        val_ds = ChannelDataset(str(data_dir / "val_manifest.json"))
+
+        dir_a, dir_b = tmp_path / "unbroken", tmp_path / "resumed"
+        t_a = Trainer(tiny_cfg, model_type="cnn", log=lambda *_: None)
+        res_a = t_a.train(train_ds, val_ds, epochs=4, model_dir=str(dir_a))
+
+        t_b1 = Trainer(tiny_cfg, model_type="cnn", log=lambda *_: None)
+        t_b1.train(train_ds, val_ds, epochs=2, model_dir=str(dir_b))
+        # simulate a crash: fresh process state, new Trainer
+        t_b2 = Trainer(tiny_cfg, model_type="cnn", log=lambda *_: None)
+        start = t_b2.resume(dir_b / "cnn_last")
+        assert start == 2
+        res_b = t_b2.train(train_ds, val_ds, epochs=4, model_dir=str(dir_b))
+
+        assert res_b["epochs_run"] == 4
+        np.testing.assert_allclose(
+            res_a["history"]["train_loss"], res_b["history"]["train_loss"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            res_a["history"]["val_loss"], res_b["history"]["val_loss"], rtol=1e-5
+        )
+        assert res_b["best_val_loss"] == pytest.approx(res_a["best_val_loss"], rel=1e-5)
+
     def test_lstm_path(self, tiny_cfg, data_dir, tmp_path):
         train_ds = ChannelDataset(str(data_dir / "train_manifest.json"))
         val_ds = ChannelDataset(str(data_dir / "val_manifest.json"))

@@ -331,6 +331,7 @@ class TestTimeRank:
         rec = q @ (q.T @ rt @ q) @ q.T
         assert np.linalg.norm(rec - rt) <= 1e-5 * np.linalg.norm(rt)
 
+    @pytest.mark.slow  # full-rank Woodbury at 500 Hz (~30s)
     def test_auto_matches_full_rank_at_high_doppler(self):
         """At 2 kHz Doppler (outside the old rank-8 validity bound) the
         auto-ranked estimate must agree with the exact full-rank solve."""

@@ -69,6 +69,25 @@ def test_baselines(setup):
     assert r["MMSE"]["nmse"] <= r["LS"]["nmse"] * 1.05
 
 
+def test_evaluate_estimators_rerun(setup, tiny_cfg):
+    """The real estimators re-run on stored frames must (a) carry a latency
+    column (reference evaluate.py:60-80) and (b) reproduce the stored-H_ls
+    NMSE for 'ls' — same algorithm, same inputs, so rebuilding Frames from
+    the dataset arrays is validated end-to-end."""
+    from ce5g_tpu.eval import evaluate_estimators
+
+    _, _, _, test_ds = setup
+    r = evaluate_estimators(test_ds, tiny_cfg, ("ls", "mmse_full"), batch_size=4)
+    stored = evaluate_baselines(test_ds)
+    assert r["ls"]["latency_ms_per_sample"] > 0
+    assert r["mmse_full"]["latency_ms_per_sample"] > 0
+    np.testing.assert_allclose(
+        r["ls"]["nmse"], stored["LS"]["nmse"], rtol=1e-4
+    )
+    # the full Wiener estimator beats interpolated LS on average
+    assert r["mmse_full"]["nmse_db"] < r["ls"]["nmse_db"]
+
+
 def test_model_evaluation(setup, tiny_cfg):
     root, _, _, test_ds = setup
     ev = ModelEvaluator(tiny_cfg, str(root / "models"), str(root / "results"))
@@ -82,7 +101,7 @@ def test_snr_sweep_and_report(setup, tiny_cfg):
     root, _, _, test_ds = setup
     ev = ModelEvaluator(tiny_cfg, str(root / "models"), str(root / "results"))
     sweep = ev.snr_sweep(test_ds, ["cnn"])
-    assert set(sweep) == {"LS", "MMSE", "cnn"}
+    assert set(sweep) == {"LS", "MMSE", "mmse_full", "cnn"}
     for by_snr in sweep.values():
         for cell in by_snr.values():
             assert np.isfinite(cell["nmse_db"])

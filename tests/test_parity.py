@@ -172,6 +172,7 @@ class TestDistributionalParity:
             c_jx = fcorr(H_jx, lag)
             assert abs(c_np - c_jx) < 0.1, (profile, lag, c_np, c_jx)
 
+    @pytest.mark.slow  # 30-frame Monte-Carlo; statistical parity also in test_phase2_parity
     def test_ls_nmse_matches_numpy_pipeline(self):
         """End-to-end LS NMSE (SISO, 15 dB, 10% scattered pilots, nearest
         interp) must land within 1.5 dB of the NumPy re-derivation."""

@@ -14,6 +14,7 @@ from ce5g_tpu.parallel.time_sharded import (
 from ce5g_tpu.physics import PROFILE_INDEX, table_for
 
 
+@pytest.mark.slow  # two dense-fading halo-exchange runs (~50s)
 @pytest.mark.parametrize("profile", ["EPA", "ETU"])
 def test_sharded_equals_monolithic(profile):
     cfg = ExperimentConfig()
@@ -45,6 +46,7 @@ def test_sharded_equals_monolithic(profile):
     )
 
 
+@pytest.mark.slow
 def test_halo_too_small_detected():
     """With halo < max delay, ETU must give a wrong (different) answer —
     guards that the halo actually matters (i.e. the test above is real)."""
