@@ -154,7 +154,13 @@ def evaluate_estimators(
             t0 = time.perf_counter()
             h_est = jax.block_until_ready(fn(frames))
             lat_ms.append((time.perf_counter() - t0) * 1000 / len(idx))
-            nm = _nmse_per_sample(h_true_all[idx], np.asarray(h_est, np.complex128))
+            # complex fetch via the planar shim (axon has no complex64
+            # device→host transfer); widen on host
+            from ..utils.host import get_numpy
+
+            nm = _nmse_per_sample(
+                h_true_all[idx], get_numpy(h_est).astype(np.complex128)
+            )
             nmses.extend(nm[-take:].tolist())
         nmse = float(np.mean(nmses))
         results[est] = {

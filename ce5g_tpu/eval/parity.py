@@ -67,8 +67,12 @@ def _nmse00_db(h_true, h_est) -> float:
     single-frame dB values (test_phase2_report.py:33-43); averaging dB
     (geometric mean in linear) matches that semantics and is robust to
     the heavy upper tail deep-faded channel draws put on linear NMSE."""
-    t = np.asarray(h_true, np.complex128)[:, :, 0, 0, :]
-    e = np.asarray(h_est, np.complex128)[:, :, 0, 0, :]
+    # complex leaves go through the planar-transfer shim (the axon runtime
+    # has no complex64 device→host path) and widen on host
+    from ..utils.host import get_numpy
+
+    t = get_numpy(h_true)[:, :, 0, 0, :].astype(np.complex128)
+    e = get_numpy(h_est)[:, :, 0, 0, :].astype(np.complex128)
     err = np.mean(np.abs(t - e) ** 2, axis=(1, 2))
     pwr = np.mean(np.abs(t) ** 2, axis=(1, 2))
     return float(np.mean(10 * np.log10(err / (pwr + 1e-12) + 1e-12)))
@@ -206,10 +210,12 @@ def griddata_cross_check(
 
     s = cfg.ofdm.num_symbols
     k = cfg.ofdm.num_used_subcarriers
+    from ..utils.host import get_numpy
+
     grid_pts = np.stack(np.meshgrid(np.arange(s), np.arange(k), indexing="ij"), -1)
-    h_true = np.asarray(batch.channel)[:, :, 0, 0, :]
-    rx = np.asarray(batch.rx_symbols)[:, :, 0, :]
-    tx = np.asarray(batch.tx_symbols)[:, :, 0, :]
+    h_true = get_numpy(batch.channel)[:, :, 0, 0, :]
+    rx = get_numpy(batch.rx_symbols)[:, :, 0, :]
+    tx = get_numpy(batch.tx_symbols)[:, :, 0, :]
     masks = np.asarray(batch.pilot_mask) > 0
 
     out: Dict[str, Dict] = {}
