@@ -1,4 +1,5 @@
 """Shared CLI bootstrapping for scripts/ entry points."""
+import os
 import sys
 from pathlib import Path
 
@@ -12,6 +13,14 @@ def _enable_compile_cache():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ce5g_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # CE5G_PLATFORM=cpu forces host execution even where the container's
+    # site hook pins JAX_PLATFORMS to the tunneled TPU before user code
+    # runs (env overrides are rewritten at interpreter start, so a plain
+    # JAX_PLATFORMS=cpu on the command line is ineffective here).
+    platform = os.environ.get("CE5G_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
 
 
 _enable_compile_cache()
