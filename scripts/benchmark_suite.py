@@ -174,27 +174,50 @@ def main():
     # ---- batched HPD solve: Pallas kernel vs XLA custom-calls
     from ce5g_tpu.ops.hpd_solve_pallas import MAX_N, _xla_solve, hpd_solve
 
+    # Inputs are built host-side and shipped as PLANAR float32 (re, im):
+    # the tunneled axon relay supports neither eager op-by-op execution
+    # (jnp.ones, a+b, …) nor complex64 host↔device transfers — only
+    # compiled executables over real-dtype buffers. The complex view is
+    # formed inside the jitted program; a per-rep diagonal load (scalar
+    # argument) defeats relay (program, input) result caching.
     n, r_rhs = 45, args.nrx
-    kp = jax.random.key(5)
-    x = jax.random.normal(kp, (b, n, n)) + 1j * jax.random.normal(kp, (b, n, n))
-    gram = (
-        jnp.einsum("bij,bkj->bik", x, jnp.conj(x)).astype(jnp.complex64)
-        + n * jnp.eye(n, dtype=jnp.complex64)
+    rng_hpd = np.random.default_rng(5)
+    x_h = rng_hpd.standard_normal((b, n, n)) + 1j * rng_hpd.standard_normal((b, n, n))
+    gram_h = (np.einsum("bij,bkj->bik", x_h, np.conj(x_h)) + n * np.eye(n)).astype(
+        np.complex64
     )
-    rhs = jax.random.normal(kp, (b, n, r_rhs)).astype(jnp.complex64)
+    g_re = jnp.asarray(gram_h.real)
+    g_im = jnp.asarray(gram_h.imag)
+    rhs_re = jnp.asarray(rng_hpd.standard_normal((b, n, r_rhs)).astype(np.float32))
+    eye_n = jnp.asarray(np.eye(n, dtype=np.float32))
     on_tpu = jax.default_backend() == "tpu"
+
+    def _planar(solver):
+        def run(gr, gi, rr, load):
+            g = (gr + load * eye_n) + 1j * gi
+            r = rr.astype(jnp.complex64)
+            return jnp.sum(jnp.abs(solver(g, r)))
+
+        return jax.jit(run)
+
     for name, fn in [
-        ("hpd_solve/xla", jax.jit(lambda g, r: jnp.sum(jnp.abs(_xla_solve(g, r))))),
+        ("hpd_solve/xla", _planar(_xla_solve)),
     ] + (
-        [("hpd_solve/pallas", jax.jit(lambda g, r: jnp.sum(jnp.abs(hpd_solve(g, r, force="pallas")))))]
+        [("hpd_solve/pallas", _planar(lambda g, r: hpd_solve(g, r, force="pallas")))]
         if on_tpu and n <= MAX_N
         else []
     ):
-        float(fn(gram, rhs))
-        t0 = time.time()
-        for _ in range(reps):
-            float(fn(gram + 0.0, rhs))
-        dt = (time.time() - t0) / reps
+        try:
+            float(fn(g_re, g_im, rhs_re, jnp.float32(0.0)))
+            t0 = time.time()
+            for r in range(reps):
+                float(fn(g_re, g_im, rhs_re, jnp.float32((r + 1) * 1e-3)))
+            dt = (time.time() - t0) / reps
+        except Exception as e:  # relay/backend capability gaps (UNIMPLEMENTED)
+            results[name] = {"error": str(e).splitlines()[0][:200]}
+            print(f"{name:28s} SKIPPED: {results[name]['error']}",
+                  file=sys.stderr, flush=True)
+            continue
         results[name] = {"ms_per_batch": dt * 1e3}
         print(f"{name:28s} {dt * 1e3:8.2f} ms/batch({b}x{n}x{n})",
               file=sys.stderr, flush=True)
@@ -247,9 +270,11 @@ def main():
         rng_host = np.random.default_rng(0)
         for model_type in args.train_models:
             for bt in args.train_batches:
-                xb = jnp.ones((bt, s_sym, k_sc, 5), jnp.float32)
-                yb = jnp.ones((bt, s_sym, k_sc, 2), jnp.float32)
-                mb = jnp.ones((bt, s_sym, k_sc), jnp.float32)
+                # host-built constants: eager jnp.ones is an op the relay
+                # cannot execute (see note above)
+                xb = jnp.asarray(np.ones((bt, s_sym, k_sc, 5), np.float32))
+                yb = jnp.asarray(np.ones((bt, s_sym, k_sc, 2), np.float32))
+                mb = jnp.asarray(np.ones((bt, s_sym, k_sc), np.float32))
                 for dtype, dname in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
                     model = get_model(model_type, cfg.model, dtype=dtype, seed=0)
                     opt = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
@@ -267,7 +292,15 @@ def main():
                         return loss
 
                     name = f"train_step_{model_type}/b{bt}/{dname}"
-                    float(step(model, opt, xb, yb, mb))
+                    try:
+                        float(step(model, opt, xb, yb, mb))
+                    except Exception as e:
+                        # e.g. activation OOM at large batch in f32 — record
+                        # the infeasible cell, keep sweeping
+                        results[name] = {"error": str(e).splitlines()[0][:200]}
+                        print(f"{name:28s} SKIPPED: {results[name]['error']}",
+                              file=sys.stderr, flush=True)
+                        continue
                     nst = 10
                     t0 = time.time()
                     last = None
@@ -295,13 +328,24 @@ def main():
                         # Overlap probe: same step but every iteration
                         # stages a FRESH host numpy batch (Trainer path).
                         # ratio ≈ 1.0 → staging fully hidden by compute.
-                        hx = rng_host.standard_normal(
-                            (nst, bt, s_sym, k_sc, 5)).astype(np.float32)
-                        t0 = time.time()
-                        last = None
-                        for i in range(nst):
-                            last = step(model, opt, jnp.asarray(hx[i]), yb, mb)
-                        jax.block_until_ready(last)
+                        try:
+                            hx = rng_host.standard_normal(
+                                (nst, bt, s_sym, k_sc, 5)).astype(np.float32)
+                            t0 = time.time()
+                            last = None
+                            for i in range(nst):
+                                last = step(model, opt, jnp.asarray(hx[i]), yb, mb)
+                            jax.block_until_ready(last)
+                        except Exception as e:
+                            # ten in-flight staged batches can exceed HBM at
+                            # the largest batch size — record, keep sweeping
+                            results[name]["staging_error"] = (
+                                str(e).splitlines()[0][:200]
+                            )
+                            print(f"{'':28s} host-staged: SKIPPED "
+                                  f"({results[name]['staging_error']})",
+                                  file=sys.stderr, flush=True)
+                            continue
                         dt_staged = (time.time() - t0) / nst
                         results[name]["staged_ms_per_step"] = dt_staged * 1e3
                         results[name]["staging_overhead"] = dt_staged / dt - 1.0
