@@ -99,10 +99,12 @@ def _frames_from_arrays(arrays: Dict, idx: np.ndarray, cfg: ExperimentConfig):
         snr_db=jnp.asarray(arrays["snr_db"][idx], jnp.float32),
         pilot_density=jnp.asarray(arrays["pilot_density"][idx], jnp.float32),
     )
+    from ..utils.host import put_complex
+
     return Frame(
-        tx_symbols=jnp.asarray(arrays["tx_symbols"][idx]),
-        rx_symbols=jnp.asarray(arrays["rx_symbols"][idx]),
-        channel=jnp.asarray(arrays["H_true"][idx]),
+        tx_symbols=put_complex(arrays["tx_symbols"][idx]),
+        rx_symbols=put_complex(arrays["rx_symbols"][idx]),
+        channel=put_complex(arrays["H_true"][idx]),
         pilot_mask=jnp.asarray(masks),
         pilot_positions=jnp.asarray(positions),
         pilot_valid=jnp.asarray(valid),
@@ -188,7 +190,17 @@ class ModelEvaluator:
         self.results_dir.mkdir(parents=True, exist_ok=True)
 
     def load_model(self, model_type: str, checkpoint: str = "best"):
-        model = get_model(model_type, self.cfg.model, seed=self.cfg.seed)
+        """``model_type`` may carry the ``_wiener`` suffix: same
+        architecture, 7-channel input layout (wiener residual head,
+        models/inputs.py apply_output_residual)."""
+        import dataclasses
+
+        arch = model_type
+        mcfg = self.cfg.model
+        if model_type.endswith("_wiener"):
+            arch = model_type[: -len("_wiener")]
+            mcfg = dataclasses.replace(mcfg, input_channels=7)
+        model = get_model(arch, mcfg, seed=self.cfg.seed)
         meta = load_checkpoint(self.model_dir / f"{model_type}_{checkpoint}", model)
         return model, meta
 
@@ -202,10 +214,17 @@ class ModelEvaluator:
     ) -> Dict:
         model, meta = self.load_model(model_type, checkpoint)
         is_lstm = model_type == "lstm"
+        # a wiener-enabled dataset serves every model: plain 5-channel
+        # models just slice the parity layout off the front
+        wants_wiener = model_type.endswith("_wiener")
+
+        from ..models.inputs import apply_output_residual
 
         @jax.jit
         def forward(x):
-            return model(x, train=False)
+            # residual-on-Wiener head when the dataset carries the
+            # 7-channel wiener layout (models/inputs.py)
+            return apply_output_residual(model(x, train=False), x)
 
         n = min(num_samples or len(ds), len(ds))
         h_std = (ds.stats or {"h_std": 1.0})["h_std"]
@@ -223,6 +242,13 @@ class ModelEvaluator:
                 x, y = lstm_inputs(batch)
             else:
                 x, y = batch.inputs, batch.targets
+                if not wants_wiener:
+                    x = x[..., :5]
+                elif x.shape[-1] < 7:
+                    raise ValueError(
+                        f"{model_type} needs a wiener-enabled dataset "
+                        "(ChannelDataset(wiener=True))"
+                    )
             x = jnp.asarray(x)
             t0 = time.perf_counter()
             pred = jax.block_until_ready(forward(x))

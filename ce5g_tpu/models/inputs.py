@@ -60,6 +60,23 @@ def grid_inputs(rx, h_ls, h_true, pilot_mask, stats: Optional[Dict] = None) -> M
     return MLBatch(inputs, targets, mask, st)
 
 
+def apply_output_residual(pred, inputs):
+    """Residual-on-Wiener output head (round-4 extension, no reference
+    counterpart).
+
+    When the inputs carry the full-Wiener feature (channels 5:6 of the
+    7-channel layout built by ``ChannelDataset(wiener=True)``), the model's
+    output is interpreted as a RESIDUAL on top of that feature:
+    ``Ĥ = Ĥ_wiener + f(x)``. A zero-output model is then exactly the
+    conditional-mean classical estimator, so training can only improve on
+    it. The check is on the STATIC channel count — jit-safe, and a no-op
+    for the 5-channel parity layout.
+    """
+    if inputs.shape[-1] >= 7:
+        return pred + inputs[..., 5:7].astype(pred.dtype)
+    return pred
+
+
 def lstm_inputs(batch: MLBatch) -> Tuple[Any, Any]:
     """Flattened sequence layout for the pure-LSTM model
     (run_phase6_advanced_training.py:96-105): drop the pilot-mask channel,

@@ -27,7 +27,13 @@ def _load_file(p: Path) -> Dict[str, np.ndarray]:
 class ChannelDataset:
     """In-memory dataset over a merged npz/h5 or manifest-described chunks."""
 
-    def __init__(self, path: str, normalize: bool = True):
+    def __init__(self, path: str, normalize: bool = True, wiener: bool = False):
+        """``wiener=True`` additionally loads the full-Wiener sidecar
+        (``<split>_wiener_manifest.json`` written by
+        scripts/compute_wiener.py) and emits 7-channel inputs
+        [rx_re, rx_im, ls_re, ls_im, mask, wiener_re, wiener_im] for
+        residual-on-Wiener training (models/inputs.py
+        apply_output_residual)."""
         p = Path(path)
         if p.suffix == ".json":
             manifest = json.loads(p.read_text())
@@ -37,6 +43,25 @@ class ChannelDataset:
             }
         else:
             self.arrays = _load_file(p)
+        self.wiener = wiener
+        if wiener and "H_wiener" not in self.arrays:
+            wp = Path(str(p).replace("_manifest.json", "_wiener_manifest.json"))
+            if not wp.exists():
+                raise FileNotFoundError(
+                    f"wiener sidecar manifest {wp} not found — run "
+                    "scripts/compute_wiener.py first"
+                )
+            wm = json.loads(wp.read_text())
+            hw = np.concatenate(
+                [_load_file(wp.parent / f)["H_wiener"] for f in wm["files"]],
+                axis=0,
+            )
+            if len(hw) != len(self.arrays["rx_symbols"]):
+                raise ValueError(
+                    f"wiener sidecar has {len(hw)} samples, dataset has "
+                    f"{len(self.arrays['rx_symbols'])}"
+                )
+            self.arrays["H_wiener"] = hw
         self.normalize = normalize
         self.stats = self._compute_stats() if normalize else None
 
@@ -67,16 +92,19 @@ class ChannelDataset:
         ht = self.arrays["H_true"][idx][:, :, 0, 0, :]
         mask = self.arrays["pilot_mask"][idx].astype(np.float32)
         st = self.stats or {"rx_std": 1.0, "hls_std": 1.0, "h_std": 1.0}
-        inputs = np.stack(
-            [
-                rx.real / st["rx_std"],
-                rx.imag / st["rx_std"],
-                hls.real / st["hls_std"],
-                hls.imag / st["hls_std"],
-                mask,
-            ],
-            axis=-1,
-        ).astype(np.float32)
+        chans = [
+            rx.real / st["rx_std"],
+            rx.imag / st["rx_std"],
+            hls.real / st["hls_std"],
+            hls.imag / st["hls_std"],
+            mask,
+        ]
+        if self.wiener:
+            # normalized like the TARGET so the residual head's sum
+            # (pred + wiener) lives on the target's scale
+            hw = self.arrays["H_wiener"][idx]
+            chans += [hw.real / st["h_std"], hw.imag / st["h_std"]]
+        inputs = np.stack(chans, axis=-1).astype(np.float32)
         targets = np.stack(
             [ht.real / st["h_std"], ht.imag / st["h_std"]], axis=-1
         ).astype(np.float32)
@@ -125,7 +153,8 @@ class DeviceDataset:
 
         n = len(ds)
         s, k = ds.grid_shape
-        inputs = np.empty((n, s, k, 5), np.float32)
+        c_in = 7 if getattr(ds, "wiener", False) else 5
+        inputs = np.empty((n, s, k, c_in), np.float32)
         targets = np.empty((n, s, k, 2), np.float32)
         for start in range(0, n, build_chunk):
             idx = np.arange(start, min(start + build_chunk, n))

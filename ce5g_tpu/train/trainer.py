@@ -31,6 +31,7 @@ from flax import nnx
 
 from ..config import ExperimentConfig
 from ..models.factory import count_parameters, get_model
+from ..models.inputs import apply_output_residual
 from ..models.loss import channel_estimation_loss
 from .checkpoint import load_checkpoint, save_checkpoint
 from .datasets import ChannelDataset, DeviceDataset
@@ -95,6 +96,7 @@ class Trainer:
         log=print,
         tensorboard: bool = False,
         device_data: Optional[bool] = None,
+        name: Optional[str] = None,
     ):
         """``device_data``: train from HBM-resident tensors with one jit
         scan per epoch (zero host↔device traffic per step) — the TPU-first
@@ -103,6 +105,9 @@ class Trainer:
         forces the per-batch host-staging loop."""
         self.cfg = cfg
         self.model_type = model_type or cfg.model.type
+        # checkpoint/history file prefix; distinct from model_type for
+        # variant runs (e.g. 'cnn_wiener' = cnn arch + wiener features)
+        self.name = name or self.model_type
         dtype = jnp.bfloat16 if cfg.training.mixed_precision else jnp.float32
         self.model = model or get_model(
             self.model_type, cfg.model, dtype=dtype, seed=cfg.seed
@@ -153,7 +158,7 @@ class Trainer:
             optimizer.opt_state.hyperparams["learning_rate"][...] = lr
 
             def loss_fn(m):
-                pred = m(inputs, train=True)
+                pred = apply_output_residual(m(inputs, train=True), inputs)
                 pm = None if is_lstm else mask
                 return channel_estimation_loss(
                     pred,
@@ -176,7 +181,7 @@ class Trainer:
 
         @nnx.jit
         def eval_step(model, inputs, targets, mask):
-            pred = model(inputs, train=False)
+            pred = apply_output_residual(model(inputs, train=False), inputs)
             pm = None if is_lstm else mask
             return channel_estimation_loss(
                 pred, targets, pm, tr.loss, tr.channel_weight, tr.pilot_weight
@@ -255,7 +260,7 @@ class Trainer:
             return x, y, (None if is_lstm else m)
 
         def _loss(model, x, y, m, train):
-            pred = model(x, train=train)
+            pred = apply_output_residual(model(x, train=train), x)
             return channel_estimation_loss(
                 pred, y, m, tr.loss, tr.channel_weight, tr.pilot_weight
             )
@@ -440,7 +445,7 @@ class Trainer:
                 self.epochs_without_improvement = 0
                 if cfg.training.save_best:
                     save_checkpoint(
-                        model_dir / f"{self.model_type}_best",
+                        model_dir / f"{self.name}_best",
                         self.model,
                         epoch=epoch,
                         val_loss=val_loss,
@@ -451,14 +456,14 @@ class Trainer:
             # Rolling resumable checkpoint (model + optimizer + counters):
             # a killed run continues from here with an identical trajectory.
             save_checkpoint(
-                model_dir / f"{self.model_type}_last",
+                model_dir / f"{self.name}_last",
                 self.model,
                 self.optimizer,
                 **self._trainer_meta(epoch, val_loss),
             )
             if (epoch + 1) % cfg.training.save_freq == 0:
                 save_checkpoint(
-                    model_dir / f"{self.model_type}_epoch_{epoch + 1}",
+                    model_dir / f"{self.name}_epoch_{epoch + 1}",
                     self.model,
                     self.optimizer,
                     **self._trainer_meta(epoch, val_loss),
@@ -472,15 +477,15 @@ class Trainer:
                 break
 
         save_checkpoint(
-            model_dir / f"{self.model_type}_final",
+            model_dir / f"{self.name}_final",
             self.model,
             epoch=epoch,
             val_loss=val_loss,
         )
-        (model_dir / f"{self.model_type}_history.json").write_text(
+        (model_dir / f"{self.name}_history.json").write_text(
             json.dumps(self.history, indent=2)
         )
-        (model_dir / f"{self.model_type}_scalars.jsonl").write_text(
+        (model_dir / f"{self.name}_scalars.jsonl").write_text(
             "\n".join(json.dumps(r) for r in self._scalar_log)
         )
         if self._tb is not None:

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _split = jax.jit(lambda x: (jnp.real(x), jnp.imag(x)))
+_combine = jax.jit(jax.lax.complex)
 
 
 def get_numpy(tree):
@@ -27,3 +28,17 @@ def get_numpy(tree):
         return jax.device_get(x)
 
     return jax.tree.map(fetch, tree)
+
+
+def put_complex(x):
+    """Relay-safe device_put: complex HOST arrays are shipped as planar
+    (re, im) float32 and recombined on device by a tiny jitted program —
+    the axon relay implements neither direction of complex64 transfer
+    (host→device fails the same way as device→host, deferred to first
+    use). Real arrays pass straight through."""
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        re = jnp.asarray(np.ascontiguousarray(x.real, dtype=np.float32))
+        im = jnp.asarray(np.ascontiguousarray(x.imag, dtype=np.float32))
+        return _combine(re, im)
+    return jnp.asarray(x)

@@ -21,6 +21,23 @@ import time
 
 from _common import add_config_arg, load_cfg
 
+# Failure markers that are genuine capability/capacity gaps of the backend
+# (relay UNIMPLEMENTED ops, HBM exhaustion at infeasible sweep cells).
+# Anything else — shape errors, solver regressions — is a real bug and is
+# re-raised so the suite exits nonzero instead of silently recording a SKIP.
+_EXPECTED_FAILURE_MARKERS = (
+    "UNIMPLEMENTED",
+    "RESOURCE_EXHAUSTED",
+    "UNAVAILABLE",
+    "out of memory",
+    "Out of memory",
+)
+
+
+def expected_failure(e: BaseException) -> bool:
+    msg = str(e)
+    return any(m in msg for m in _EXPECTED_FAILURE_MARKERS)
+
 
 def main():
     parser = add_config_arg(argparse.ArgumentParser(description=__doc__))
@@ -182,6 +199,10 @@ def main():
     # argument) defeats relay (program, input) result caching.
     n, r_rhs = 45, args.nrx
     rng_hpd = np.random.default_rng(5)
+    # NOTE (round 4): real and imag parts are INDEPENDENT draws. Before
+    # round 3 one PRNG key was reused, making re==im (a degenerate,
+    # better-conditioned Gram); hpd_solve timings from BENCH_r01/r02 are
+    # therefore not directly comparable to r03+ numbers.
     x_h = rng_hpd.standard_normal((b, n, n)) + 1j * rng_hpd.standard_normal((b, n, n))
     gram_h = (np.einsum("bij,bkj->bik", x_h, np.conj(x_h)) + n * np.eye(n)).astype(
         np.complex64
@@ -214,6 +235,8 @@ def main():
                 float(fn(g_re, g_im, rhs_re, jnp.float32((r + 1) * 1e-3)))
             dt = (time.time() - t0) / reps
         except Exception as e:  # relay/backend capability gaps (UNIMPLEMENTED)
+            if not expected_failure(e):
+                raise
             results[name] = {"error": str(e).splitlines()[0][:200]}
             print(f"{name:28s} SKIPPED: {results[name]['error']}",
                   file=sys.stderr, flush=True)
@@ -297,6 +320,8 @@ def main():
                     except Exception as e:
                         # e.g. activation OOM at large batch in f32 — record
                         # the infeasible cell, keep sweeping
+                        if not expected_failure(e):
+                            raise
                         results[name] = {"error": str(e).splitlines()[0][:200]}
                         print(f"{name:28s} SKIPPED: {results[name]['error']}",
                               file=sys.stderr, flush=True)
@@ -339,6 +364,8 @@ def main():
                         except Exception as e:
                             # ten in-flight staged batches can exceed HBM at
                             # the largest batch size — record, keep sweeping
+                            if not expected_failure(e):
+                                raise
                             results[name]["staging_error"] = (
                                 str(e).splitlines()[0][:200]
                             )

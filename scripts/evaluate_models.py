@@ -39,8 +39,12 @@ def main():
 
     d = Path(args.data_dir)
     test_path = d / "test.npz"
+    # load the wiener sidecar when present — plain models slice it off,
+    # *_wiener models need it (eval/evaluate.py evaluate_model)
+    has_wiener = (d / "test_wiener_manifest.json").exists()
     test_ds = ChannelDataset(
-        str(test_path if test_path.exists() else d / "test_manifest.json")
+        str(test_path if test_path.exists() else d / "test_manifest.json"),
+        wiener=has_wiener,
     )
 
     ev = ModelEvaluator(cfg, args.model_dir, args.results_dir)

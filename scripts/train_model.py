@@ -27,6 +27,11 @@ def main():
         "--advanced", action="store_true",
         help="phase-6 per-model optimizer policy (warm restarts etc.)",
     )
+    parser.add_argument(
+        "--wiener", action="store_true",
+        help="7-channel wiener-residual layout (needs compute_wiener.py "
+        "sidecars); checkpoints saved as <model>_wiener_*",
+    )
     parser.add_argument("--evaluate", action="store_true", help="evaluate on test split")
     parser.add_argument(
         "--resume", action="store_true",
@@ -46,6 +51,10 @@ def main():
     cfg = dataclasses.replace(cfg, training=tr)
     if args.seed is not None:
         cfg = dataclasses.replace(cfg, seed=args.seed)
+    if args.wiener:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, input_channels=7)
+        )
 
     from ce5g_tpu.train import ChannelDataset, Trainer, advanced_policy
 
@@ -57,8 +66,8 @@ def main():
         merged = d / f"{split}.npz"
         return str(merged if merged.exists() else d / f"{split}_manifest.json")
 
-    train_ds = ChannelDataset(split_path("train"))
-    val_ds = ChannelDataset(split_path("val"))
+    train_ds = ChannelDataset(split_path("train"), wiener=args.wiener)
+    val_ds = ChannelDataset(split_path("val"), wiener=args.wiener)
 
     mesh = None
     if args.shard:
@@ -66,9 +75,10 @@ def main():
 
         mesh = make_mesh()
 
-    trainer = Trainer(cfg, model_type=args.model, mesh=mesh)
+    run_name = f"{args.model}_wiener" if args.wiener else args.model
+    trainer = Trainer(cfg, model_type=args.model, mesh=mesh, name=run_name)
     if args.resume:
-        last = Path(args.model_dir) / f"{args.model}_last"
+        last = Path(args.model_dir) / f"{run_name}_last"
         if last.exists():
             trainer.resume(last)
         else:
@@ -80,12 +90,12 @@ def main():
     if args.evaluate:
         from ce5g_tpu.eval import ModelEvaluator
 
-        test_ds = ChannelDataset(split_path("test"))
+        test_ds = ChannelDataset(split_path("test"), wiener=args.wiener)
         ev = ModelEvaluator(cfg, args.model_dir)
-        r = ev.evaluate_model(args.model, test_ds)
+        r = ev.evaluate_model(run_name, test_ds)
         r.pop("per_sample_nmse", None)
         print(r)
-        ev.save_results(r, f"{args.model}_test_results.json")
+        ev.save_results(r, f"{run_name}_test_results.json")
 
 
 if __name__ == "__main__":

@@ -147,6 +147,60 @@ class TestTraining:
         )
         assert res_b["best_val_loss"] == pytest.approx(res_a["best_val_loss"], rel=1e-5)
 
+    def test_wiener_residual_path(self, tiny_cfg, data_dir, tmp_path):
+        """Round-4 wiener plumbing: sidecar → 7-channel dataset → residual
+        head training → evaluation via the *_wiener model name. A
+        zero-output model must reproduce the wiener feature exactly
+        (models/inputs.py apply_output_residual)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from ce5g_tpu.data.wiener import compute_wiener_sidecar
+        from ce5g_tpu.models.inputs import apply_output_residual
+
+        wm = compute_wiener_sidecar(
+            tiny_cfg, data_dir / "train_manifest.json", batch_size=8,
+            log=lambda *_: None,
+        )
+        assert len(wm["files"]) == 3
+        compute_wiener_sidecar(
+            tiny_cfg, data_dir / "val_manifest.json", batch_size=8,
+            log=lambda *_: None,
+        )
+
+        ds = ChannelDataset(str(data_dir / "train_manifest.json"), wiener=True)
+        b = ds.make_batch(np.arange(4))
+        assert b.inputs.shape[-1] == 7
+        # zero residual ⇒ output IS the normalized wiener feature
+        zero_pred = jnp.zeros(b.targets.shape, jnp.float32)
+        out = np.asarray(apply_output_residual(zero_pred, jnp.asarray(b.inputs)))
+        np.testing.assert_allclose(out, b.inputs[..., 5:7], atol=1e-7)
+        # wiener channels share the TARGET normalizer
+        hw = ds.arrays["H_wiener"][:4]
+        np.testing.assert_allclose(
+            b.inputs[..., 5], hw.real / ds.stats["h_std"], atol=1e-6
+        )
+
+        cfg7 = dataclasses.replace(
+            tiny_cfg,
+            model=dataclasses.replace(tiny_cfg.model, input_channels=7),
+        )
+        train_ds = ds
+        val_ds = ChannelDataset(str(data_dir / "val_manifest.json"), wiener=True)
+        trainer = Trainer(
+            cfg7, model_type="cnn", log=lambda *_: None, name="cnn_wiener"
+        )
+        result = trainer.train(train_ds, val_ds, epochs=1, model_dir=str(tmp_path))
+        assert np.isfinite(result["best_val_loss"])
+        assert (tmp_path / "cnn_wiener_best" / "state.npz").exists()
+
+        from ce5g_tpu.eval import ModelEvaluator
+
+        ev = ModelEvaluator(cfg7, str(tmp_path), results_dir=str(tmp_path))
+        r = ev.evaluate_model("cnn_wiener", val_ds, num_samples=4, batch_size=4)
+        assert np.isfinite(r["nmse_db"])
+
     def test_lstm_path(self, tiny_cfg, data_dir, tmp_path):
         train_ds = ChannelDataset(str(data_dir / "train_manifest.json"))
         val_ds = ChannelDataset(str(data_dir / "val_manifest.json"))
