@@ -72,11 +72,22 @@ def run_one_sharded_step(
     model, optimizer = make_sharded_train_state(cfg, mesh, model_type)
     step = make_sharded_train_step(cfg)
     key = jax.random.key(0)
-    x = jax.random.normal(key, (batch_size, s, k, cfg.model.input_channels), jnp.float32)
-    y = jax.random.normal(key, (batch_size, s, k, 2), jnp.float32)
-    m = jnp.zeros((batch_size, s, k), jnp.float32)
+    if model_type == "lstm":
+        # sequence layout (models/inputs.py lstm_inputs): (B, S·K, 4),
+        # masked loss not used on the flattened sequence (trainer parity)
+        x = jax.random.normal(key, (batch_size, s * k, 4), jnp.float32)
+        y = jax.random.normal(key, (batch_size, s * k, 2), jnp.float32)
+        m = None
+    else:
+        x = jax.random.normal(
+            key, (batch_size, s, k, cfg.model.input_channels), jnp.float32
+        )
+        y = jax.random.normal(key, (batch_size, s, k, 2), jnp.float32)
+        m = jnp.zeros((batch_size, s, k), jnp.float32)
     shard = data_sharding(mesh)
-    x, y, m = (jax.device_put(a, shard) for a in (x, y, m))
+    x, y = jax.device_put(x, shard), jax.device_put(y, shard)
+    if m is not None:
+        m = jax.device_put(m, shard)
     loss = step(model, optimizer, x, y, m)
     jax.block_until_ready(loss)
     return float(loss)

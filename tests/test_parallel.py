@@ -57,7 +57,9 @@ def test_sharded_train_step(mesh8):
     assert np.isfinite(loss)
 
 
-@pytest.mark.parametrize("model_type", ["cnn", "resnet", "transformer"])
+@pytest.mark.parametrize(
+    "model_type", ["cnn", "resnet", "transformer", "lstm", "hybrid"]
+)
 def test_tp_sharded_loss_matches_replicated(mesh8, model_type):
     """DP×TP sharding must not change the math: one train step on the
     (4 data × 2 model) mesh equals the same step on a replicated 1×1 mesh
