@@ -40,6 +40,7 @@ class QuickDataset(ChannelDataset):
         self.arrays = {k: v[np.sort(idx)] for k, v in base.arrays.items()}
         self.normalize = base.normalize
         self.stats = base.stats
+        self.wiener = getattr(base, "wiener", False)
 
 
 def _apply_trial(cfg: ExperimentConfig, trial: Dict[str, Any], epochs: int) -> ExperimentConfig:

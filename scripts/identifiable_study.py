@@ -1,0 +1,217 @@
+"""Identifiable-regime (1×2 SIMO) estimator study — round-4 companion to
+results/PLATEAU_DIAGNOSIS.md.
+
+On the reference-parity dataset the TX-superposition quirk caps every
+method at NMSE = (T−1)/T = −3.01 dB, so "beat the full Wiener by 1 dB" is
+information-theoretically impossible there. This study re-asks the question
+where it is answerable: a 1×2 SIMO dataset (configs/simo_identifiable.yaml)
+with identifiable per-TX channels and no floor.
+
+Methods compared on the SIMO test split, all per-SNR:
+  * ls / mmse (diag) / mmse_full — ORACLE priors (the estimators receive
+    the true SNR, Doppler, and delay profile; mmse_full is then the
+    conditional-mean bound for this Gaussian channel — no estimator,
+    neural or classical, can beat it);
+  * mmse_full_blind — the same Wiener with fixed NOMINAL priors
+    (EVA / 100 Hz / 15 dB) regardless of the frame's truth: the honest
+    deployable-classical baseline when genie side-information is absent;
+  * trained models (cnn, cnn_wiener, resnet, ...) — blind by construction
+    (they see only rx / H_ls / mask [/ wiener feature]).
+
+Writes results_simo/identifiable_study.json + ORTHOGONAL_STUDY.md (the
+latter is ALSO copied into results/ so the diagnosis note's pointer holds).
+"""
+import argparse
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+
+from _common import add_config_arg, load_cfg
+
+
+def _group_db(vals: np.ndarray, key: np.ndarray):
+    return {
+        str(v): float(10 * np.log10(vals[key == v].mean() + 1e-12))
+        for v in sorted(set(key.tolist()))
+    }
+
+
+def evaluate_blind_wiener(ds, cfg, num_samples, batch_size=64):
+    """mmse_full with fixed nominal priors (EVA / 100 Hz / 15 dB)."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ce5g_tpu.estimators.api import estimate_batch
+    from ce5g_tpu.eval.evaluate import _frames_from_arrays, _nmse_per_sample
+    from ce5g_tpu.physics.profiles import PROFILE_INDEX
+    from ce5g_tpu.physics.simulate import table_for
+    from ce5g_tpu.utils.host import get_numpy
+
+    table = table_for(cfg)
+    fn = jax.jit(
+        functools.partial(
+            estimate_batch, cfg=cfg, estimator="mmse_full", table=table
+        )
+    )
+    n = min(num_samples or len(ds), len(ds))
+    h_true = ds.arrays["H_true"][:n]
+    nmses, lat = [], []
+    for start in range(0, n, batch_size):
+        take = min(batch_size, n - start)
+        idx = np.arange(start, start + take)
+        if take < batch_size and n >= batch_size:
+            idx = np.arange(n - batch_size, n)
+        frames = _frames_from_arrays(ds.arrays, idx, cfg)
+        b = len(idx)
+        blind = frames._replace(
+            params=frames.params._replace(
+                profile_idx=jnp.full((b,), PROFILE_INDEX["EVA"], jnp.int32),
+                doppler_hz=jnp.full((b,), 100.0, jnp.float32),
+                snr_db=jnp.full((b,), 15.0, jnp.float32),
+            )
+        )
+        t0 = time.perf_counter()
+        h = jax.block_until_ready(fn(blind))
+        lat.append((time.perf_counter() - t0) * 1000 / b)
+        nm = _nmse_per_sample(h_true[idx], get_numpy(h).astype(np.complex128))
+        nmses.extend(nm[-take:].tolist())
+    return np.asarray(nmses), float(np.median(lat[1:] or lat))
+
+
+def main():
+    parser = add_config_arg(argparse.ArgumentParser(description=__doc__))
+    parser.set_defaults(config="configs/simo_identifiable.yaml")
+    parser.add_argument("--data-dir", default="data_simo")
+    parser.add_argument("--model-dir", default="models_simo")
+    parser.add_argument("--results-dir", default="results_simo")
+    parser.add_argument("--num-samples", type=int, default=None)
+    parser.add_argument("--models", nargs="*", default=["cnn", "cnn_wiener", "resnet"])
+    args = parser.parse_args()
+
+    cfg = load_cfg(args)
+
+    from ce5g_tpu.eval.evaluate import (
+        ModelEvaluator,
+        evaluate_baselines,
+        evaluate_estimators,
+    )
+    from ce5g_tpu.train.datasets import ChannelDataset
+
+    d = Path(args.data_dir)
+    has_wiener = (d / "test_wiener_manifest.json").exists()
+    ds = ChannelDataset(str(d / "test_manifest.json"), wiener=has_wiener)
+    n = min(args.num_samples or len(ds), len(ds))
+    snr = ds.arrays["snr_db"][:n]
+
+    per_sample, latency = {}, {}
+
+    base = evaluate_baselines(ds, n)
+    per_sample["ls_stored"] = np.asarray(base["per_sample"]["LS"])
+
+    est = evaluate_estimators(ds, cfg, ("mmse", "mmse_full"), n)
+    for k, r in est.items():
+        per_sample[k] = np.asarray(r["per_sample"])
+        latency[k] = r["latency_ms_per_sample"]
+
+    per_sample["mmse_full_blind"], latency["mmse_full_blind"] = (
+        evaluate_blind_wiener(ds, cfg, n)
+    )
+
+    wcfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, input_channels=7)
+    )
+    model_meta = {}
+    for mt in args.models:
+        c = wcfg if mt.endswith("_wiener") else cfg
+        ev = ModelEvaluator(c, args.model_dir, results_dir=args.results_dir)
+        try:
+            r = ev.evaluate_model(mt, ds, n)
+        except FileNotFoundError:
+            print(f"no checkpoint for {mt}; skipping")
+            continue
+        per_sample[mt] = np.asarray(r["per_sample_nmse"])
+        latency[mt] = r["latency_ms_per_sample"]
+        model_meta[mt] = {"params": r["params"], "epoch": r["checkpoint_epoch"]}
+
+    overall = {
+        k: float(10 * np.log10(v.mean() + 1e-12)) for k, v in per_sample.items()
+    }
+    by_snr = {k: _group_db(v, snr) for k, v in per_sample.items()}
+
+    out = {
+        "dataset": "1x2 SIMO identifiable (configs/simo_identifiable.yaml)",
+        "num_samples": int(n),
+        "overall_db": overall,
+        "by_snr_db": by_snr,
+        "latency_ms_per_sample": latency,
+        "models": model_meta,
+    }
+    rd = Path(args.results_dir)
+    rd.mkdir(parents=True, exist_ok=True)
+    (rd / "identifiable_study.json").write_text(json.dumps(out, indent=2))
+
+    snrs = sorted(set(snr.tolist()))
+    lines = [
+        "# Identifiable-regime study (1×2 SIMO, round 4)",
+        "",
+        "Companion to results/PLATEAU_DIAGNOSIS.md: on the parity dataset "
+        "the superposition quirk caps every estimator at −3.01 dB, so the "
+        "\"beat full-Wiener by 1 dB\" question is re-asked here, where the "
+        "channel is identifiable and there is no floor.",
+        "",
+        f"Test split: {n} samples, SNR −5…30 dB mix, EPA/EVA/ETU, "
+        "densities 1–10 %.",
+        "",
+        "| method | overall dB | ms/sample | oracle priors? |",
+        "|---|---|---|---|",
+    ]
+    oracle = {
+        "ls_stored": "no",
+        "mmse": "yes (SNR)",
+        "mmse_full": "yes (SNR+Doppler+profile)",
+        "mmse_full_blind": "no (fixed EVA/100 Hz/15 dB)",
+    }
+    for k in sorted(overall, key=lambda k: overall[k]):
+        lines.append(
+            f"| {k} | {overall[k]:.2f} | "
+            f"{latency.get(k, float('nan')):.2f} | {oracle.get(k, 'no')} |"
+        )
+    lines += [
+        "",
+        "Per-SNR NMSE (dB):",
+        "",
+        "| method | " + " | ".join(str(s) for s in snrs) + " |",
+        "|" + "---|" * (1 + len(snrs)),
+    ]
+    for k, g in by_snr.items():
+        lines.append(
+            f"| {k} | " + " | ".join(f"{g[str(s)]:.2f}" for s in snrs) + " |"
+        )
+    lines += [
+        "",
+        "## Reading",
+        "",
+        "- `mmse_full` (oracle priors) is the conditional-mean bound for "
+        "this Gaussian channel: no estimator that sees the same "
+        "observations can beat it. Its oracle inputs (true SNR, Doppler, "
+        "delay profile) are NOT available to a deployed receiver.",
+        "- `mmse_full_blind` is the same filter without the genie: the "
+        "fair classical baseline for the learned models, which are blind "
+        "by construction.",
+        "- The learned-vs-classical headline therefore reads: model vs "
+        "`mmse_full_blind` (fair fight) and model vs `mmse_full` "
+        "(distance to the bound).",
+        "",
+    ]
+    (rd / "ORTHOGONAL_STUDY.md").write_text("\n".join(lines))
+    (Path("results") / "ORTHOGONAL_STUDY.md").write_text("\n".join(lines))
+    print(json.dumps({k: round(v, 2) for k, v in overall.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

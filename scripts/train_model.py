@@ -19,6 +19,8 @@ def main():
     )
     parser.add_argument("--data-dir", default="data")
     parser.add_argument("--model-dir", default="models")
+    parser.add_argument("--results-dir", default=None,
+                        help="where --evaluate writes results (default cfg.results_dir)")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
@@ -91,7 +93,7 @@ def main():
         from ce5g_tpu.eval import ModelEvaluator
 
         test_ds = ChannelDataset(split_path("test"), wiener=args.wiener)
-        ev = ModelEvaluator(cfg, args.model_dir)
+        ev = ModelEvaluator(cfg, args.model_dir, results_dir=args.results_dir)
         r = ev.evaluate_model(run_name, test_ds)
         r.pop("per_sample_nmse", None)
         print(r)
