@@ -20,6 +20,7 @@ finished chunk is pulled to host.
 """
 from __future__ import annotations
 
+import functools
 import json
 import time
 from pathlib import Path
@@ -72,6 +73,16 @@ def draw_params(keys, cfg: ExperimentConfig) -> FrameParams:
         )
 
     return jax.vmap(draw_one)(keys)
+
+
+@functools.lru_cache(maxsize=8)
+def _chunk_fn_cached(cfg: ExperimentConfig) -> Callable:
+    """One jitted chunk function per config. ExperimentConfig is a frozen
+    hashable dataclass, so this caches on VALUE: every DatasetGenerator
+    (and test fixture) with the same config reuses one compiled program
+    instead of re-tracing a fresh closure — jax's jit cache is keyed by
+    function identity, which a per-instance closure always misses."""
+    return generate_chunk_fn(cfg, table_for(cfg))
 
 
 def generate_chunk_fn(cfg: ExperimentConfig, table=None) -> Callable:
@@ -199,7 +210,7 @@ class DatasetGenerator:
         self.out.mkdir(parents=True, exist_ok=True)
         self.mesh = mesh
         self.table = table_for(cfg)
-        self._fn = generate_chunk_fn(cfg, self.table)
+        self._fn = _chunk_fn_cached(cfg)
         self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
 
     # -- paths

@@ -60,7 +60,10 @@ def main():
     )
     from ce5g_tpu.train.datasets import ChannelDataset
 
-    ds = ChannelDataset(str(Path(args.data_dir) / "test_manifest.json"))
+    has_wiener = (Path(args.data_dir) / "test_wiener_manifest.json").exists()
+    ds = ChannelDataset(
+        str(Path(args.data_dir) / "test_manifest.json"), wiener=has_wiener
+    )
     n = min(args.num_samples or len(ds), len(ds))
     h_true = ds.arrays["H_true"][:n]
     snr = ds.arrays["snr_db"][:n]

@@ -42,7 +42,9 @@ def test_kernel_pads_partial_batch():
 
 
 def test_solution_residual():
-    gram, rhs = _problem(jax.random.key(2), 128, 24, 4, cond=1e4)
+    # batch 16 (was 128): interpret-mode pallas is python-slow and the
+    # residual bound is per-system, not statistical
+    gram, rhs = _problem(jax.random.key(2), 16, 24, 4, cond=1e4)
     x = hpd_solve(gram, rhs, force="interpret")
     resid = jnp.linalg.norm(jnp.einsum("bij,bjk->bik", gram, x) - rhs) / jnp.linalg.norm(rhs)
     assert float(resid) < 1e-3
