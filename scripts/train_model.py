@@ -24,6 +24,12 @@ def main():
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--loss", default=None,
+                        choices=["mse", "mae", "huber", "nmse"],
+                        help="override cfg.training.loss ('nmse' = per-sample "
+                        "normalized MSE, matches the eval metric)")
+    parser.add_argument("--lr-scheduler", default=None,
+                        choices=["cosine", "step", "plateau", "warm_restarts"])
     parser.add_argument("--shard", action="store_true", help="DP over local devices")
     parser.add_argument(
         "--advanced", action="store_true",
@@ -50,6 +56,10 @@ def main():
         tr = dataclasses.replace(tr, epochs=args.epochs)
     if args.batch_size:
         tr = dataclasses.replace(tr, batch_size=args.batch_size)
+    if args.loss:
+        tr = dataclasses.replace(tr, loss=args.loss)
+    if args.lr_scheduler:
+        tr = dataclasses.replace(tr, lr_scheduler=args.lr_scheduler)
     cfg = dataclasses.replace(cfg, training=tr)
     if args.seed is not None:
         cfg = dataclasses.replace(cfg, seed=args.seed)

@@ -66,6 +66,11 @@ def test_loss_parity_values():
     v = channel_estimation_loss(pred, target, mask, pilot_weight=1.0)
     expected = 1.0 + float(jnp.mean((mask[..., None] * 1.0) ** 2))
     assert abs(float(v) - expected) < 1e-6
+    # nmse: mean over samples of ‖err‖²/‖target‖² — exactly the eval
+    # metric; sample 1 scaled 2× must change nothing (scale-invariant)
+    t2 = target.at[1].multiply(2.0)
+    v_nmse = channel_estimation_loss(pred, t2, loss_type="nmse")
+    assert abs(float(v_nmse) - 1.0) < 1e-5
 
 
 def test_input_preparation(cfg):
