@@ -127,6 +127,10 @@ class Trainer:
         self._plateau_wait = 0
         self._start_epoch = 0
         self._is_lstm = self.model_type == "lstm"
+        # recurrent families carry nnx.RNN scans whose RngCount mutations
+        # cannot nest inside the outer device-resident epoch lax.scan
+        # (flax TraceContextError) — they train via the host-staging path
+        self._has_rnn = self.model_type in ("lstm", "hybrid", "cnn_lstm")
         self.device_data = device_data
         self._dev_state = None  # (graphdef, state) once device mode starts
         self._step = self._build_step()
@@ -391,12 +395,12 @@ class Trainer:
         )
 
         # auto mode: on unless a mesh shards batches per step, or the model
-        # is the pure LSTM (its internal nnx.RNN scan cannot mutate RNG
-        # counts from inside the outer epoch lax.scan trace)
+        # contains nnx.RNN scans (lstm/hybrid — their RngCount mutations
+        # cannot nest inside the outer epoch lax.scan trace)
         use_device = (
             self.device_data
             if self.device_data is not None
-            else (self.mesh is None and not self._is_lstm)
+            else (self.mesh is None and not self._has_rnn)
         )
         if use_device:
             t0 = time.time()
