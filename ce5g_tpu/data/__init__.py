@@ -11,6 +11,7 @@ from .generator import (
     read_split,
 )
 from .verify import verify_dataset
+from .wiener import compute_wiener_sidecar
 
 __all__ = [
     "DatasetGenerator",
@@ -18,4 +19,5 @@ __all__ = [
     "generate_chunk_fn",
     "read_split",
     "verify_dataset",
+    "compute_wiener_sidecar",
 ]
