@@ -131,9 +131,11 @@ def generate_final_report(
     results_dir: str,
     out_name: str = "FINAL_REPORT.md",
     extra_sections: Optional[Dict[str, str]] = None,
+    lead_sections: Optional[Dict[str, str]] = None,
 ) -> str:
     """Aggregate every results JSON + history into one markdown report
-    (reference run_phase10_final_report.py:162-339)."""
+    (reference run_phase10_final_report.py:162-339). ``lead_sections``
+    render before the artifact dump, ``extra_sections`` after."""
     rd = Path(results_dir)
     lines = [
         "# Final Report — TPU-native 5G Channel Estimation",
@@ -141,6 +143,8 @@ def generate_final_report(
         f"Generated: {time.strftime('%Y-%m-%d %H:%M:%S')}",
         "",
     ]
+    for title, body in (lead_sections or {}).items():
+        lines += [f"## {title}", "", body, ""]
     for jf in sorted(rd.glob("*.json")):
         try:
             data = json.loads(jf.read_text())
