@@ -218,10 +218,15 @@ class ModelEvaluator:
         # models just slice the parity layout off the front
         wants_wiener = model_type.endswith("_wiener")
 
+        from flax import nnx
+
         from ..models.inputs import apply_output_residual
 
-        @jax.jit
-        def forward(x):
+        # nnx.jit, not jax.jit: recurrent models (nnx.RNN) mutate RngCount
+        # state even at train=False — a raw jit closure over the module
+        # raises TraceContextError
+        @nnx.jit
+        def forward(model, x):
             # residual-on-Wiener head when the dataset carries the
             # 7-channel wiener layout (models/inputs.py)
             return apply_output_residual(model(x, train=False), x)
@@ -251,7 +256,7 @@ class ModelEvaluator:
                     )
             x = jnp.asarray(x)
             t0 = time.perf_counter()
-            pred = jax.block_until_ready(forward(x))
+            pred = jax.block_until_ready(forward(model, x))
             dt = time.perf_counter() - t0
             latency_ms.append(dt * 1000 / len(idx))
             pred = np.asarray(pred, np.float64) * h_std

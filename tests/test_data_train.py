@@ -207,6 +207,13 @@ class TestTraining:
         trainer = Trainer(tiny_cfg, model_type="lstm", log=lambda *_: None)
         result = trainer.train(train_ds, val_ds, epochs=1, model_dir=str(tmp_path))
         assert np.isfinite(result["best_val_loss"])
+        # evaluator must handle recurrent modules (nnx.RNN mutates RngCount
+        # even at train=False → needs nnx.jit, round-4 regression)
+        from ce5g_tpu.eval import ModelEvaluator
+
+        ev = ModelEvaluator(tiny_cfg, str(tmp_path), results_dir=str(tmp_path))
+        r = ev.evaluate_model("lstm", val_ds, num_samples=4, batch_size=4)
+        assert np.isfinite(r["nmse_db"])
 
 
 class TestSchedules:
