@@ -32,6 +32,12 @@ def main():
                         choices=["cosine", "step", "plateau", "warm_restarts"])
     parser.add_argument("--shard", action="store_true", help="DP over local devices")
     parser.add_argument(
+        "--host-staging", action="store_true",
+        help="force per-batch host staging instead of the device-resident "
+        "epoch scan (smaller per-step programs; workaround for runtime "
+        "faults in very large scanned programs)",
+    )
+    parser.add_argument(
         "--advanced", action="store_true",
         help="phase-6 per-model optimizer policy (warm restarts etc.)",
     )
@@ -88,7 +94,10 @@ def main():
         mesh = make_mesh()
 
     run_name = f"{args.model}_wiener" if args.wiener else args.model
-    trainer = Trainer(cfg, model_type=args.model, mesh=mesh, name=run_name)
+    trainer = Trainer(
+        cfg, model_type=args.model, mesh=mesh, name=run_name,
+        device_data=False if args.host_staging else None,
+    )
     if args.resume:
         last = Path(args.model_dir) / f"{run_name}_last"
         if last.exists():
