@@ -226,14 +226,27 @@ def main():
         "unreachable by any method.",
     ]
     if "cnn_wiener" in sv:
+        d_orc = sv["cnn_wiener"] - sv["sum_oracle"]
+        d_mmse = sv["cnn_wiener"] - sv.get("mmse_full", float("nan"))
         lines.append(
-            f"- `cnn_wiener` (residual-on-Wiener head) reaches "
-            f"{sv['cnn_wiener']:.2f} dB — within "
-            f"{sv['cnn_wiener'] - sv['sum_oracle']:.2f} dB of the slice-"
-            f"basis floor and at parity with `mmse_full` "
-            f"({sv.get('mmse_full', float('nan')):.2f} dB) at roughly half "
-            "its latency; the plain CNN's 0.3 dB residual gap was feature "
-            "starvation, now closed.",
+            f"- `cnn_wiener` (residual-on-Wiener head, per-sample `nmse` "
+            f"loss) reaches {sv['cnn_wiener']:.2f} dB — "
+            f"{abs(d_mmse):.2f} dB {'better than' if d_mmse < 0 else 'behind'} "
+            f"`mmse_full` on this basis at roughly half its latency. "
+            + (
+                f"It sits {abs(d_orc):.2f} dB BELOW the sum-rule oracle "
+                f"({sv['sum_oracle']:.2f} dB): that oracle (and the Wiener "
+                "filter) minimizes per-sample squared error, but the "
+                "deployed metric is the MEAN OF PER-SAMPLE RATIOS — "
+                "optimizing it directly (the `nmse` loss) shades estimates "
+                "on weak-channel samples, which squared-error-optimal "
+                "filters cannot. A legitimate metric-alignment win, not a "
+                "bound violation: on ratio-of-means (plain MSE) the Wiener "
+                "bound still holds."
+                if d_orc < 0
+                else f"The remaining {d_orc:.2f} dB gap to the slice-basis "
+                "floor is the model's residual inefficiency."
+            ),
         )
     lines += [
         "- independent corroboration: bench.py's 4×4 pipeline reports "
