@@ -175,6 +175,10 @@ def main():
         "mmse": "yes (SNR)",
         "mmse_full": "yes (SNR+Doppler+profile)",
         "mmse_full_blind": "no (fixed EVA/100 Hz/15 dB)",
+        # *_wiener models consume the mmse_full feature, which was computed
+        # WITH oracle priors — they inherit the genie through the feature
+        "cnn_wiener": "inherited (wiener input feature)",
+        "resnet_wiener": "inherited (wiener input feature)",
     }
     for k in sorted(overall, key=lambda k: overall[k]):
         lines.append(
@@ -206,6 +210,11 @@ def main():
         "- The learned-vs-classical headline therefore reads: model vs "
         "`mmse_full_blind` (fair fight) and model vs `mmse_full` "
         "(distance to the bound).",
+        "- `cnn_wiener` consumes the oracle-computed Wiener feature, so "
+        "it inherits the genie: read it as \"the learned head loses "
+        "almost nothing on top of the bound while adding robustness\", "
+        "not as a blind result. The blind learned headline is the plain "
+        "`cnn` row.",
         "",
     ]
     (rd / "ORTHOGONAL_STUDY.md").write_text("\n".join(lines))
