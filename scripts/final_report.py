@@ -66,10 +66,12 @@ def build_headline(results_dir: Path, model_dir: Path) -> str:
         if "cnn_wiener" in sv:
             lines += [
                 f"- **Best learned estimator**: `cnn_wiener` "
-                f"(residual-on-Wiener head) at {_f(sv['cnn_wiener'])} dB — "
-                f"within {_f(sv['cnn_wiener'] - sv.get('sum_oracle', 0))} "
-                "dB of the floor, at parity with the full-Wiener classical "
-                "bound at roughly half its latency.",
+                f"(residual-on-Wiener head, per-sample nmse loss) at "
+                f"{_f(sv['cnn_wiener'])} dB — "
+                f"{_f(sv.get('mmse_full', 0) - sv['cnn_wiener'])} dB better "
+                "than the full-Wiener classical estimator on the same "
+                "basis at roughly half its latency (a metric-alignment "
+                "win; see PLATEAU_DIAGNOSIS.md).",
             ]
 
     rows = []
