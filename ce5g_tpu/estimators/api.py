@@ -93,7 +93,10 @@ def estimate_frame(
 
     Args:
         estimator: 'ls' | 'mmse' (reference-parity diagonal) | 'mmse_full'
-            (per-subcarrier Wiener with correlation priors).
+            (per-subcarrier Wiener with correlation priors) |
+            'mmse_full_est' (same Wiener, but every prior — SNR, Doppler,
+            delay profile — is estimated blindly from the frame's pilots;
+            frame.params is never read — see estimators/blind.py).
         method: interpolation for 'ls'/'mmse' ('nearest'|'linear'|'cubic').
         time_rank: mmse_full time-prior rank — "auto" (sized from the max
             configured Doppler via :func:`auto_time_rank`), an int, or
@@ -119,6 +122,7 @@ def estimate_frame(
             grid_shape,
             num_tx,
             method,
+            pilot_mask=frame.pilot_mask,
         )
     if estimator == "mmse":
         return mmse_diag_estimate(
@@ -130,17 +134,60 @@ def estimate_frame(
             num_tx,
             frame.params.snr_db,
             method,
+            pilot_mask=frame.pilot_mask,
         )
-    if estimator == "mmse_full":
+    if estimator in ("mmse_full", "mmse_full_est"):
         import numpy as np
 
-        freq_matrix = jnp.asarray(table.freq_response)[frame.params.profile_idx]
         amp_table = (
             table.amp_overwrite
             if cfg.channel.tap_collision == "overwrite"
             else table.amp_accumulate
         )
-        amp = jnp.asarray(amp_table)[frame.params.profile_idx]
+        if estimator == "mmse_full_est":
+            # BLIND variant: the priors (profile / Doppler / SNR) are
+            # estimated from the frame itself — frame.params is never read
+            # (see estimators/blind.py). The delay prior is the UNION
+            # dictionary with per-frame blended tap powers (never zeroing
+            # a candidate tap — one hard misclassification at high SNR
+            # would otherwise cap that frame near −10 dB), and σ² enters
+            # through the snr_db↔p_ch mapping so mmse_full reproduces the
+            # estimated noise variance exactly. This is the deployable
+            # classical estimator; 'mmse_full' with genie params is the
+            # bound.
+            from .blind import blind_tables_for, estimate_priors
+
+            tables = blind_tables_for(cfg, table)
+            pri = estimate_priors(
+                frame.rx_symbols,
+                tx_grid,
+                frame.pilot_mask,
+                tables,
+                num_tx,
+            )
+            amp = jnp.sqrt(2.0 * pri.w_tap)  # mmse_full folds w = ½·amp²
+            p_ch = jnp.sum(pri.w_tap)
+            snr_db = 10.0 * jnp.log10(
+                jnp.maximum(num_tx * p_ch / pri.sigma2, 1e-12)
+            )
+            return mmse_full_estimate(
+                frame.rx_symbols,
+                tx_grid,
+                frame.pilot_mask,
+                grid_shape,
+                num_tx,
+                snr_db,
+                jnp.asarray(tables.f_dict),  # static union-delay responses
+                amp,
+                pri.doppler_hz,
+                cfg.ofdm.symbol_duration,
+                time_rank=auto_time_rank(cfg) if time_rank == "auto" else time_rank,
+            )
+        profile_idx = frame.params.profile_idx
+        doppler_hz = frame.params.doppler_hz
+        snr_db = frame.params.snr_db
+        freq_matrix = jnp.asarray(table.freq_response)[profile_idx]
+        amp = jnp.asarray(amp_table)[profile_idx]
         # static all-profiles delay→bin table for the packed E/D matmuls
         f_table = np.asarray(table.freq_response)  # (C, P, K)
         return mmse_full_estimate(
@@ -149,14 +196,14 @@ def estimate_frame(
             frame.pilot_mask,
             grid_shape,
             num_tx,
-            frame.params.snr_db,
+            snr_db,
             freq_matrix,
             amp,
-            frame.params.doppler_hz,
+            doppler_hz,
             cfg.ofdm.symbol_duration,
             time_rank=auto_time_rank(cfg) if time_rank == "auto" else time_rank,
             f_table=f_table,
-            profile_idx=frame.params.profile_idx,
+            profile_idx=profile_idx,
         )
     raise ValueError(f"Unknown estimator: {estimator!r}")
 

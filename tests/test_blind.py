@@ -1,0 +1,171 @@
+"""Blind prior estimation (estimators/blind.py) and the mmse_full_est
+estimator.
+
+The reference has no counterpart — its estimators receive the true SNR as
+an argument (src/baseline_estimators.py:155-196) and its metadata carries
+genie Doppler/profile. These tests pin the round-5 blind path: priors are
+estimated from the frame alone, and the estimator provably never reads
+``frame.params``.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _simo_cfg():
+    import dataclasses
+
+    from ce5g_tpu.config import ExperimentConfig
+
+    cfg = ExperimentConfig()
+    return dataclasses.replace(
+        cfg,
+        mimo=dataclasses.replace(cfg.mimo, num_tx=1, num_rx=2),
+    )
+
+
+def _frames(cfg, profiles, dopplers, snrs, dens, seed=0):
+    from ce5g_tpu.physics.simulate import FrameParams, simulate_batch
+
+    b = len(profiles)
+    params = FrameParams(
+        profile_idx=jnp.asarray(profiles, jnp.int32),
+        doppler_hz=jnp.asarray(dopplers, jnp.float32),
+        snr_db=jnp.asarray(snrs, jnp.float32),
+        pilot_density=jnp.asarray(dens, jnp.float32),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(seed), b)
+    return simulate_batch(keys, params, cfg=cfg)
+
+
+@pytest.fixture(scope="module")
+def blind_setup():
+    from ce5g_tpu.estimators.blind import blind_tables_for, estimate_priors
+    from ce5g_tpu.physics.simulate import table_for
+
+    cfg = _simo_cfg()
+    table = table_for(cfg)
+    tables = blind_tables_for(cfg, table)
+    fn = jax.jit(
+        jax.vmap(
+            functools.partial(
+                estimate_priors, tables=tables, num_tx=cfg.mimo.num_tx
+            )
+        )
+    )
+    return cfg, table, tables, fn
+
+
+def test_blind_tables_shapes(blind_setup):
+    cfg, table, tables, _ = blind_setup
+    d = len(tables.dict_delays)
+    # union of the three profiles' quantized delays, strictly sorted
+    assert np.all(np.diff(tables.dict_delays) > 0)
+    assert tables.f_dict.shape == (d, cfg.ofdm.num_used_subcarriers)
+    assert tables.w_profile.shape[1] == d
+    # per-profile nominal power: Σ½amp² of that profile's surviving taps
+    amp = table.amp_overwrite
+    for c in range(3):
+        assert tables.p_ch[c] == pytest.approx(
+            float(0.5 * (amp[c] ** 2).sum()), rel=1e-5
+        )
+
+
+def test_snr_estimate_calibration(blind_setup):
+    cfg, _, _, fn = blind_setup
+    b = 8
+    snrs = np.array([0.0, 5.0, 10.0, 15.0, 20.0, 10.0, 15.0, 5.0])
+    frames = _frames(
+        cfg, [1] * b, [50.0] * b, snrs, [0.05] * b, seed=1
+    )
+    pri = fn(frames.rx_symbols, frames.tx_symbols[:, :, 0, :], frames.pilot_mask)
+    err = np.asarray(pri.snr_db) - snrs
+    assert np.abs(err.mean()) < 2.0
+    assert np.abs(err).max() < 5.0
+
+
+def test_profile_classification(blind_setup):
+    cfg, _, _, fn = blind_setup
+    profiles = np.array([0, 1, 2] * 4)
+    b = len(profiles)
+    frames = _frames(
+        cfg, profiles, [100.0] * b, [15.0] * b, [0.05] * b, seed=2
+    )
+    pri = fn(frames.rx_symbols, frames.tx_symbols[:, :, 0, :], frames.pilot_mask)
+    acc = float((np.asarray(pri.profile_idx) == profiles).mean())
+    assert acc >= 0.75  # 96-frame dev sweep measured 100% at this density
+
+
+def test_doppler_monotone(blind_setup):
+    """Estimated Doppler should at least separate slow from fast fading."""
+    cfg, _, _, fn = blind_setup
+    b = 6
+    slow = _frames(cfg, [1] * b, [10.0] * b, [20.0] * b, [0.10] * b, seed=3)
+    fast = _frames(cfg, [1] * b, [200.0] * b, [20.0] * b, [0.10] * b, seed=3)
+    fd_slow = np.median(
+        fn(slow.rx_symbols, slow.tx_symbols[:, :, 0, :], slow.pilot_mask).doppler_hz
+    )
+    fd_fast = np.median(
+        fn(fast.rx_symbols, fast.tx_symbols[:, :, 0, :], fast.pilot_mask).doppler_hz
+    )
+    assert fd_fast > 2.0 * fd_slow
+
+
+def _nmse(h_true, h_est):
+    err = np.mean(np.abs(np.asarray(h_true) - np.asarray(h_est)) ** 2, axis=(1, 2, 3, 4))
+    pwr = np.mean(np.abs(np.asarray(h_true)) ** 2, axis=(1, 2, 3, 4))
+    return err / (pwr + 1e-12)
+
+
+def test_mmse_full_est_close_to_oracle(blind_setup):
+    """Blind Wiener should land within a few dB of the oracle-prior bound
+    and clearly beat LS (dev sweep: −14.4 vs −17.5 overall)."""
+    from ce5g_tpu.estimators.api import estimate_batch
+
+    cfg, table, _, _ = blind_setup
+    rng = np.random.default_rng(4)
+    b = 12
+    frames = _frames(
+        cfg,
+        rng.integers(0, 3, b),
+        rng.choice([50.0, 100.0], b),
+        rng.choice([10.0, 15.0, 20.0], b),
+        [0.05] * b,
+        seed=4,
+    )
+    out = {}
+    for est in ("ls", "mmse_full", "mmse_full_est"):
+        f = jax.jit(
+            functools.partial(estimate_batch, cfg=cfg, estimator=est, table=table)
+        )
+        out[est] = 10 * np.log10(_nmse(frames.channel, f(frames)).mean())
+    assert out["mmse_full_est"] < out["ls"] - 3.0
+    assert out["mmse_full_est"] < out["mmse_full"] + 4.0
+
+
+def test_mmse_full_est_ignores_params(blind_setup):
+    """The blindness guarantee: scrambling frame.params must not change
+    the mmse_full_est output at all."""
+    from ce5g_tpu.estimators.api import estimate_batch
+
+    cfg, table, _, _ = blind_setup
+    b = 4
+    frames = _frames(cfg, [2] * b, [100.0] * b, [15.0] * b, [0.05] * b, seed=5)
+    scrambled = frames._replace(
+        params=frames.params._replace(
+            profile_idx=jnp.zeros((b,), jnp.int32),
+            doppler_hz=jnp.full((b,), 999.0, jnp.float32),
+            snr_db=jnp.full((b,), -77.0, jnp.float32),
+        )
+    )
+    f = jax.jit(
+        functools.partial(
+            estimate_batch, cfg=cfg, estimator="mmse_full_est", table=table
+        )
+    )
+    a = np.asarray(f(frames))
+    c = np.asarray(f(scrambled))
+    np.testing.assert_array_equal(a, c)
