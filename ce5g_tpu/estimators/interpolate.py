@@ -145,6 +145,177 @@ def interpolate(
     )
 
 
+def _fill_1d(values, ok, reverse: bool = False):
+    """Per-row forward (or backward) fill of masked values along the last
+    axis, as a log-depth associative scan (dense shift-network ops — no
+    gathers, no sequential loop). Positions with no pilot on their side
+    keep 0 (they are excluded by an infinite distance anyway).
+
+    values: (..., K) complex; ok: broadcastable bool (..., K).
+    """
+    ok_b = jnp.broadcast_to(ok, values.shape)
+
+    def combine(a, b):
+        a_ok, a_re, a_im = a
+        b_ok, b_re, b_im = b
+        return (
+            a_ok | b_ok,
+            jnp.where(b_ok, b_re, a_re),
+            jnp.where(b_ok, b_im, a_im),
+        )
+
+    _, re, im = jax.lax.associative_scan(
+        combine,
+        (ok_b, values.real, values.imag),
+        axis=values.ndim - 1,  # reverse-mode requires a nonnegative axis
+        reverse=reverse,
+    )
+    return jax.lax.complex(re, im)
+
+
+def _fill2_1d(values, ok, iota, reverse: bool = False):
+    """Like :func:`_fill_1d` but carrying the TWO most recent pilots
+    (position + value each) — the per-row candidates the k=3 IDW needs.
+
+    Returns (p1, v1, p2, v2): p* are f32 positions (−2e9 when absent; the
+    caller turns absent into an infinite distance), v* the corresponding
+    complex values. Position/count leaves keep the mask's (leading-1)
+    shape so the scan does not replicate them per rx antenna.
+    """
+    ok_s = ok.reshape((1,) * (values.ndim - ok.ndim) + ok.shape)
+    ok_b = jnp.broadcast_to(ok, values.shape)
+    absent = jnp.float32(-2e9)
+    cnt0 = ok_s.astype(jnp.int32)
+    pos0 = jnp.where(ok_s, jnp.broadcast_to(iota, ok_s.shape), absent)
+    zero = jnp.zeros_like(values.real)
+
+    def combine(a, b):
+        # b is the NEWER segment in scan order; newest-two of a∥b
+        (ca, p1a, r1a, i1a, p2a, r2a, i2a) = a
+        (cb, p1b, r1b, i1b, p2b, r2b, i2b) = b
+        b2 = cb >= 2
+        b1 = cb == 1
+        pick_b1 = b2  # second-newest comes from b
+        p1 = jnp.where(cb >= 1, p1b, p1a)
+        r1 = jnp.where(cb >= 1, r1b, r1a)
+        i1 = jnp.where(cb >= 1, i1b, i1a)
+        p2 = jnp.where(pick_b1, p2b, jnp.where(b1, p1a, p2a))
+        r2 = jnp.where(pick_b1, r2b, jnp.where(b1, r1a, r2a))
+        i2 = jnp.where(pick_b1, i2b, jnp.where(b1, i1a, i2a))
+        return (jnp.minimum(ca + cb, 2), p1, r1, i1, p2, r2, i2)
+
+    _, p1, r1, i1, p2, r2, i2 = jax.lax.associative_scan(
+        combine,
+        (
+            cnt0,
+            pos0,
+            jnp.where(ok_b, values.real, zero),
+            jnp.where(ok_b, values.imag, zero),
+            jnp.full_like(pos0, absent),
+            zero,
+            zero,
+        ),
+        axis=values.ndim - 1,
+        reverse=reverse,
+    )
+    return p1, jax.lax.complex(r1, i1), p2, jax.lax.complex(r2, i2)
+
+
+def interpolate_grid(
+    value_grid: jax.Array,
+    mask: jax.Array,
+    method: str = "linear",
+):
+    """Grid-form scattered interpolation — the round-5 fast path.
+
+    Same estimate as :func:`interpolate` but taking the masked VALUE GRID
+    ((..., S, K), zeros off-pilot) + pilot mask (S, K) instead of padded
+    pilot slots — i.e. exactly what ``mask · rx/tx`` produces, with no
+    pilot gather at all.
+
+    Row-decomposition: for a fixed source symbol row r, row-r pilots
+    ordered by distance to grid point (s, k) are ordered by |Δsc| (the
+    |Δsy| term is constant within the row), so the global nearest set is
+    contained in the per-row nearest-left/right pilots ('nearest': 2·S
+    candidates) and the global top-3 in the per-row TWO nearest per side
+    ('linear': 4·S candidates) — all computed by log-depth associative
+    scans (dense shift-network ops; no gathers, no top-k over wide
+    windows). Selection is a 3-level running min (m₁ < m₂ < m₃ distinct
+    shell values) — ~5 traversals of a (S, 4S, K) ≈ 1.9 MB/frame tensor
+    instead of the previous 128-wide window's (S·K, 128) ≈ 4.3 MB with
+    read-modify-write top-k passes. 'nearest' is bit-exact vs the slot
+    path (same tied-shell semantics); 'linear' can miss a same-row
+    same-side THIRD neighbor only when three same-row pilots are all
+    globally closer than every other row's best — a sub-0.05-dB NMSE
+    effect (pinned by tests/test_interp_rowscan.py).
+    """
+    if method not in ("nearest", "linear"):
+        raise ValueError(f"interpolate_grid supports nearest/linear, got {method!r}")
+    s, k = mask.shape[-2], mask.shape[-1]
+    ok = mask > 0
+    iota = jnp.arange(k, dtype=jnp.float32)
+    absent = jnp.float32(-2e9)
+
+    if method == "nearest":
+        neg = jnp.float32(-1e9)
+        ax = ok.ndim - 1  # cummax requires a non-negative axis index
+        pos_l = jax.lax.cummax(jnp.where(ok, iota, neg), axis=ax)
+        pos_r = -jax.lax.cummax(jnp.where(ok, -iota, neg), axis=ax, reverse=True)
+        d_l = jnp.where(pos_l > neg / 2, iota - pos_l, jnp.inf)  # (S, K)
+        d_r = jnp.where(pos_r < -neg / 2, pos_r - iota, jnp.inf)
+        # a pilot exactly at column k is BOTH sides' nearest — count it
+        # once (it would otherwise get double weight inside tied shells)
+        d_r = jnp.where(pos_r == pos_l, jnp.inf, d_r)
+        d_sides = [d_l, d_r]
+        v_sides = [
+            _fill_1d(value_grid, ok, reverse=False),
+            _fill_1d(value_grid, ok, reverse=True),
+        ]
+    else:
+        p1l, v1l, p2l, v2l = _fill2_1d(value_grid, ok, iota, reverse=False)
+        p1r, v1r, p2r, v2r = _fill2_1d(value_grid, ok, iota, reverse=True)
+        sq = lambda p: p.reshape(p.shape[-2:])  # drop the leading 1s
+        p1l, p2l, p1r, p2r = sq(p1l), sq(p2l), sq(p1r), sq(p2r)
+        d_1l = jnp.where(p1l > absent / 2, iota - p1l, jnp.inf)
+        d_2l = jnp.where(p2l > absent / 2, iota - p2l, jnp.inf)
+        d_1r = jnp.where(p1r > absent / 2, p1r - iota, jnp.inf)
+        d_2r = jnp.where(p2r > absent / 2, p2r - iota, jnp.inf)
+        d_1r = jnp.where(p1r == p1l, jnp.inf, d_1r)  # dedup pilot at k
+        d_sides = [d_1l, d_2l, d_1r, d_2r]
+        v_sides = [v1l, v2l, v1r, v2r]
+
+    n_sides = len(d_sides)
+    # candidate axis c = (row r, side), ordered (r0,s0),(r0,s1),…:
+    # distances (S_out, n_sides·S, K) shared across the leading value dims
+    d1 = jnp.stack(d_sides, axis=-2).reshape(n_sides * s, k)
+    rows = jnp.arange(s, dtype=jnp.float32)
+    drow = rows[:, None] - jnp.repeat(rows, n_sides)[None, :]
+    d2 = drow[:, :, None] ** 2 + d1[None, :, :] ** 2  # (S_out, C, K)
+
+    # k-NN tied-shell weights via distinct shell values m1 < m2 < m3:
+    # pure reduce-reads of d2 — no read-modify-write "remaining" tensors.
+    big = jnp.float32(jnp.inf)
+    m1 = jnp.min(d2, axis=1, keepdims=True)
+    if method == "nearest":
+        w = ((d2 <= m1) & jnp.isfinite(d2)).astype(jnp.float32)
+    else:
+        m2 = jnp.min(jnp.where(d2 > m1, d2, big), axis=1, keepdims=True)
+        m3 = jnp.min(jnp.where(d2 > m2, d2, big), axis=1, keepdims=True)
+        fin = jnp.isfinite(d2)
+        w = jnp.where(fin & (d2 <= m1), 1.0 / (m1 + 1e-6), 0.0)
+        w = w + jnp.where(fin & (d2 > m1) & (d2 <= m2), 1.0 / (m2 + 1e-6), 0.0)
+        w = w + jnp.where(fin & (d2 > m2) & (d2 <= m3), 1.0 / (m3 + 1e-6), 0.0)
+    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+
+    v_cand = jnp.stack(v_sides, axis=-2).reshape(
+        *value_grid.shape[:-2], n_sides * s, k
+    )  # (..., C, K) matching d1's (row, side) order
+    return jnp.einsum(
+        "sck,...ck->...sk", w.astype(jnp.float32), v_cand,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def normalized_conv_interpolate(
     pilot_grid: jax.Array,
     mask: jax.Array,

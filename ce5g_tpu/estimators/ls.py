@@ -52,6 +52,7 @@ def ls_estimate(
     grid_shape: Tuple[int, int],
     num_tx: int,
     method: str = "linear",
+    pilot_mask=None,
 ):
     """Full LS estimation with interpolation (reference :83-117).
 
@@ -60,13 +61,26 @@ def ls_estimate(
         tx_grid: (S, K) complex transmitted grid (common to all antennas —
             reference parity).
         num_tx: broadcast factor for the tx axis of the output.
+        pilot_mask: optional (S, K) mask. When given (and the method is
+            nearest/linear), the whole estimate runs in GRID FORM — the
+            masked LS grid feeds the row-scan interpolation
+            (interpolate.interpolate_grid) with zero pilot gathers; the
+            padded-slot path below is the portable fallback and the
+            'cubic' path. Same estimate either way.
 
     Returns:
         (S, R, T, K) complex64 — identical along T (reference behavior).
     """
     rx_grids = jnp.moveaxis(rx_symbols, 1, 0)  # (R, S, K)
-    h_p = ls_at_pilots(rx_grids, tx_grid, positions, valid)  # (R, P)
-    h_full = interpolate(h_p, positions, valid, grid_shape, method)  # (R, S, K)
+    if pilot_mask is not None and method in ("nearest", "linear"):
+        from .interpolate import interpolate_grid
+
+        m = jnp.asarray(pilot_mask, jnp.float32)
+        g = m * (rx_grids / (tx_grid + _EPS))  # masked LS grid (R, S, K)
+        h_full = interpolate_grid(g, m, method)
+    else:
+        h_p = ls_at_pilots(rx_grids, tx_grid, positions, valid)  # (R, P)
+        h_full = interpolate(h_p, positions, valid, grid_shape, method)
     h_full = jnp.moveaxis(h_full, 1, 0)  # (S, R, K)
     return jnp.broadcast_to(
         h_full[:, :, None, :], (grid_shape[0], h_full.shape[1], num_tx, grid_shape[1])

@@ -120,15 +120,28 @@ def mmse_diag_estimate(
     num_tx: int,
     snr_db,
     method: str = "linear",
+    pilot_mask=None,
 ):
     """Reference-parity MMSE: LS → scalar shrink → interpolate
-    (baseline_estimators.py:232-270). Returns (S, R, T, K) complex64."""
+    (baseline_estimators.py:232-270). Returns (S, R, T, K) complex64.
+
+    With ``pilot_mask`` (and nearest/linear) the shrink runs in grid form
+    and feeds the gather-free row-scan interpolation (see ls_estimate)."""
     rx_grids = jnp.moveaxis(rx_symbols, 1, 0)  # (R, S, K)
-    h_ls = ls_at_pilots(rx_grids, tx_grid, positions, valid)  # (R, P)
-    h_mmse = mmse_diag_at_pilots(h_ls, valid, snr_db)
-    h_full = jnp.moveaxis(
-        interpolate(h_mmse, positions, valid, grid_shape, method), 1, 0
-    )
+    if pilot_mask is not None and method in ("nearest", "linear"):
+        from .interpolate import interpolate_grid
+
+        m = jnp.asarray(pilot_mask, jnp.float32)
+        g = m * (rx_grids / (tx_grid + _EPS))  # (R, S, K)
+        n = jnp.maximum(jnp.sum(m), 1.0)
+        p = jnp.sum(jnp.abs(g) ** 2, axis=(-2, -1), keepdims=True) / n
+        sigma2 = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
+        h_full = interpolate_grid(g * (p / (p + sigma2)), m, method)
+    else:
+        h_ls = ls_at_pilots(rx_grids, tx_grid, positions, valid)  # (R, P)
+        h_mmse = mmse_diag_at_pilots(h_ls, valid, snr_db)
+        h_full = interpolate(h_mmse, positions, valid, grid_shape, method)
+    h_full = jnp.moveaxis(h_full, 1, 0)
     s, k = grid_shape
     return jnp.broadcast_to(
         h_full[:, :, None, :], (s, h_full.shape[1], num_tx, k)
