@@ -23,9 +23,17 @@ def compute_wiener_sidecar(
     manifest_path,
     batch_size: int = 64,
     log=print,
+    estimator: str = "mmse_full",
+    tag: str = "wiener",
 ) -> Optional[dict]:
-    """Compute mmse_full sidecars for one split manifest. Returns the
-    sidecar manifest dict (also written next to the split manifest)."""
+    """Compute Wiener-estimate sidecars for one split manifest. Returns the
+    sidecar manifest dict (also written next to the split manifest).
+
+    ``estimator='mmse_full'`` (oracle priors, default) writes
+    ``<split>_wiener_*``; ``estimator='mmse_full_est', tag='bwiener'``
+    writes the BLIND-prior sidecars (``<split>_bwiener_*``) whose feature
+    inherits no genie information (estimators/blind.py).
+    """
     import jax
 
     from ..estimators.api import estimate_batch
@@ -41,7 +49,7 @@ def compute_wiener_sidecar(
     table = table_for(cfg)
     fn = jax.jit(
         functools.partial(
-            estimate_batch, cfg=cfg, estimator="mmse_full", table=table
+            estimate_batch, cfg=cfg, estimator=estimator, table=table
         )
     )
 
@@ -51,7 +59,7 @@ def compute_wiener_sidecar(
     for f in manifest["files"]:
         src = mp.parent / f
         dst = mp.parent / (
-            f.replace("_chunk_", "_wiener_").rsplit(".", 1)[0] + ".ce5g"
+            f.replace("_chunk_", f"_{tag}_").rsplit(".", 1)[0] + ".ce5g"
         )
         arrays = read_chunk(src)
         n = len(arrays["rx_symbols"])
@@ -72,12 +80,12 @@ def compute_wiener_sidecar(
 
     wm = {
         "split": split,
-        "estimator": "mmse_full",
+        "estimator": estimator,
         "files": out_files,
         "source_fingerprint": manifest.get("fingerprint"),
         "samples_per_second": n_done / max(time.time() - t_split, 1e-9),
     }
-    (mp.parent / f"{split}_wiener_manifest.json").write_text(
+    (mp.parent / f"{split}_{tag}_manifest.json").write_text(
         json.dumps(wm, indent=2)
     )
     return wm

@@ -37,6 +37,11 @@ def _nmse_per_sample(h_true: np.ndarray, h_est: np.ndarray) -> np.ndarray:
     return err / (pwr + 1e-12)
 
 
+def _mse_per_sample(h_true: np.ndarray, h_est: np.ndarray) -> np.ndarray:
+    axes = tuple(range(1, h_true.ndim))
+    return np.mean(np.abs(h_true - h_est) ** 2, axis=axes)
+
+
 def evaluate_baselines(ds: ChannelDataset, num_samples: Optional[int] = None) -> Dict:
     """LS (stored) + simplified scalar MMSE (phase-5 parity)."""
     n = min(num_samples or len(ds), len(ds))
@@ -45,20 +50,31 @@ def evaluate_baselines(ds: ChannelDataset, num_samples: Optional[int] = None) ->
     snr_db = ds.arrays["snr_db"][:n].astype(np.float64)
 
     ls_nmse = _nmse_per_sample(h_true, h_ls)
+    ls_slice = _nmse_per_sample(h_true[:, :, 0, 0, :], h_ls[:, :, 0, 0, :])
 
     # phase-5 simplified MMSE: α = 1/(1+σ²), σ² = 1/SNR_lin  (:246-253)
     sigma2 = 10 ** (-snr_db / 10)
     alpha = (1.0 / (1.0 + sigma2)).reshape(-1, *([1] * (h_ls.ndim - 1)))
     mmse_nmse = _nmse_per_sample(h_true, alpha * h_ls)
+    mmse_slice = _nmse_per_sample(
+        h_true[:, :, 0, 0, :], (alpha * h_ls)[:, :, 0, 0, :]
+    )
 
     return {
         "LS": {
             "nmse": float(ls_nmse.mean()),
             "nmse_db": float(10 * np.log10(ls_nmse.mean() + 1e-12)),
+            "nmse_db_slice": float(10 * np.log10(ls_slice.mean() + 1e-12)),
+            "mse": float(_mse_per_sample(h_true, h_ls).mean()),
+            "source": "stored H_ls feature (no compute — latency n/a)",
         },
         "MMSE": {
             "nmse": float(mmse_nmse.mean()),
             "nmse_db": float(10 * np.log10(mmse_nmse.mean() + 1e-12)),
+            "nmse_db_slice": float(10 * np.log10(mmse_slice.mean() + 1e-12)),
+            "mse": float(_mse_per_sample(h_true, alpha * h_ls).mean()),
+            "source": "simplified α·H_ls on stored arrays "
+            "(run_phase5_evaluation.py:246-253 parity)",
         },
         "num_samples": n,
         "per_sample": {"LS": ls_nmse.tolist(), "MMSE": mmse_nmse.tolist()},
@@ -146,6 +162,8 @@ def evaluate_estimators(
             )
         )
         nmses: List[float] = []
+        mses: List[float] = []
+        slices: List[float] = []
         lat_ms: List[float] = []
         for start in range(0, n, batch_size):
             take = min(batch_size, n - start)  # new samples this batch
@@ -160,17 +178,25 @@ def evaluate_estimators(
             # device→host transfer); widen on host
             from ..utils.host import get_numpy
 
-            nm = _nmse_per_sample(
-                h_true_all[idx], get_numpy(h_est).astype(np.complex128)
-            )
+            h_np = get_numpy(h_est).astype(np.complex128)
+            nm = _nmse_per_sample(h_true_all[idx], h_np)
             nmses.extend(nm[-take:].tolist())
+            mses.extend(_mse_per_sample(h_true_all[idx], h_np)[-take:].tolist())
+            slices.extend(
+                _nmse_per_sample(
+                    h_true_all[idx][:, :, 0, 0, :], h_np[:, :, 0, 0, :]
+                )[-take:].tolist()
+            )
         nmse = float(np.mean(nmses))
         results[est] = {
             "nmse": nmse,
             "nmse_db": float(10 * np.log10(nmse + 1e-12)),
+            "nmse_db_slice": float(10 * np.log10(np.mean(slices) + 1e-12)),
+            "mse": float(np.mean(mses)),
             "latency_ms_per_sample": float(np.median(lat_ms[1:] or lat_ms)),
             "num_samples": len(nmses),
             "per_sample": nmses,
+            "source": "estimator re-run on test frames (timed)",
         }
     return results
 
@@ -190,15 +216,17 @@ class ModelEvaluator:
         self.results_dir.mkdir(parents=True, exist_ok=True)
 
     def load_model(self, model_type: str, checkpoint: str = "best"):
-        """``model_type`` may carry the ``_wiener`` suffix: same
-        architecture, 7-channel input layout (wiener residual head,
-        models/inputs.py apply_output_residual)."""
+        """``model_type`` is ``<arch>[_wiener][_<tag>]``: a ``_wiener``
+        token anywhere after the arch selects the 7-channel input layout
+        (wiener residual head, models/inputs.py apply_output_residual);
+        any trailing tag (e.g. ``cnn_wiener_blind``) only names the
+        checkpoint files."""
         import dataclasses
 
         arch = model_type
         mcfg = self.cfg.model
-        if model_type.endswith("_wiener"):
-            arch = model_type[: -len("_wiener")]
+        if "_wiener" in model_type:
+            arch = model_type.split("_wiener", 1)[0]
             mcfg = dataclasses.replace(mcfg, input_channels=7)
         model = get_model(arch, mcfg, seed=self.cfg.seed)
         meta = load_checkpoint(self.model_dir / f"{model_type}_{checkpoint}", model)
@@ -216,7 +244,7 @@ class ModelEvaluator:
         is_lstm = model_type == "lstm"
         # a wiener-enabled dataset serves every model: plain 5-channel
         # models just slice the parity layout off the front
-        wants_wiener = model_type.endswith("_wiener")
+        wants_wiener = "_wiener" in model_type
 
         from flax import nnx
 
@@ -282,6 +310,8 @@ class ModelEvaluator:
             "latency_ms_per_sample": float(np.median(latency_ms[1:] or latency_ms)),
             "num_samples": n,
             "per_sample_nmse": nmses,
+            "source": "checkpoint forward pass (timed)",
+            "basis": "slice (rx0, tx0)",
         }
 
     def snr_sweep(

@@ -105,23 +105,61 @@ def generate_evaluation_report(
     lines += [
         "## Results",
         "",
-        "| Method | NMSE (dB) | MSE | Latency (ms) | Params |",
-        "|---|---|---|---|---|",
+        "NMSE bases: **full** = over the whole (S, R, T, K) tensor "
+        "(classical estimators' native basis); **slice** = per-sample over "
+        "the (rx0, tx0) slice (the models' native basis). The two are NOT "
+        "comparable to each other — on the parity dataset the same "
+        "estimator reads ~0.7 dB apart between bases "
+        "(results/PLATEAU_DIAGNOSIS.md). Compare within a column.",
+        "",
+        "| Method | Source | NMSE full (dB) | NMSE slice (dB) | MSE "
+        "| Latency (ms/sample) | Params |",
+        "|---|---|---|---|---|---|---|",
     ]
-    ls_db = results.get("LS", {}).get("nmse_db")
+
+    def _num(v, fmt=".2f"):
+        return ("{:" + fmt + "}").format(v) if v is not None else "—"
+
     for method, r in results.items():
+        if not isinstance(r, dict) or "nmse_db" not in r:
+            continue
+        is_model = "basis" in r and r["basis"].startswith("slice")
+        full_db = None if is_model else r.get("nmse_db")
+        slice_db = r.get("nmse_db_slice", r.get("nmse_db") if is_model else None)
+        lat = r.get("latency_ms_per_sample")
+        lat_s = _num(lat, ".3f") if lat else "— (stored)"
         lines.append(
-            f"| {method} | {r.get('nmse_db', float('nan')):.2f} "
-            f"| {r.get('mse', float('nan')):.3e} "
-            f"| {r.get('latency_ms_per_sample', 0.0):.3f} "
-            f"| {r.get('params', '—')} |"
+            f"| {method} | {r.get('source', '—')} | {_num(full_db)} "
+            f"| {_num(slice_db)} | {_num(r.get('mse'), '.3e')} "
+            f"| {lat_s} | {r.get('params', '—')} |"
         )
-    if ls_db is not None:
-        lines += ["", "## Improvement vs LS", ""]
+
+    ls_full = results.get("ls", results.get("LS", {})).get("nmse_db")
+    ls_slice = results.get("ls", results.get("LS", {})).get("nmse_db_slice")
+    if ls_full is not None:
+        lines += [
+            "",
+            "## Improvement vs LS (basis-consistent)",
+            "",
+            "Full-basis methods vs LS full; slice-basis methods vs LS slice.",
+            "",
+        ]
         for method, r in results.items():
-            if method == "LS" or "nmse_db" not in r:
+            if method in ("LS", "ls") or not isinstance(r, dict):
                 continue
-            lines.append(f"- **{method}**: {ls_db - r['nmse_db']:+.2f} dB vs LS")
+            if "nmse_db" not in r:
+                continue
+            is_model = "basis" in r and r["basis"].startswith("slice")
+            if is_model and ls_slice is not None:
+                lines.append(
+                    f"- **{method}** (slice): "
+                    f"{ls_slice - r['nmse_db']:+.2f} dB vs LS slice"
+                )
+            elif not is_model:
+                lines.append(
+                    f"- **{method}** (full): "
+                    f"{ls_full - r['nmse_db']:+.2f} dB vs LS full"
+                )
     text = "\n".join(lines) + "\n"
     Path(out_path).write_text(text)
     return text

@@ -15,6 +15,7 @@ from jax.sharding import Mesh
 
 from ..config import ExperimentConfig
 from ..models.factory import get_model
+from ..models.inputs import apply_output_residual
 from ..models.loss import channel_estimation_loss
 from .mesh import data_sharding, shard_model_state
 
@@ -47,7 +48,10 @@ def make_sharded_train_step(cfg: ExperimentConfig):
     @nnx.jit(donate_argnames=("model", "optimizer"))
     def step(model, optimizer, inputs, targets, mask):
         def loss_fn(m):
-            pred = m(inputs, train=True)
+            # same step semantics as every Trainer step builder: the
+            # 7-channel wiener layout adds the wiener feature back onto
+            # the prediction (residual head); 5-channel inputs pass through
+            pred = apply_output_residual(m(inputs, train=True), inputs)
             return channel_estimation_loss(
                 pred, targets, mask, tr.loss, tr.channel_weight, tr.pilot_weight
             )

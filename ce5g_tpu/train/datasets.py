@@ -27,14 +27,18 @@ def _load_file(p: Path) -> Dict[str, np.ndarray]:
 class ChannelDataset:
     """In-memory dataset over a merged npz/h5 or manifest-described chunks."""
 
-    def __init__(self, path: str, normalize: bool = True, wiener: bool = False):
-        """``wiener=True`` additionally loads the full-Wiener sidecar
-        (``<split>_wiener_manifest.json`` written by
-        scripts/compute_wiener.py) and emits 7-channel inputs
+    def __init__(
+        self, path: str, normalize: bool = True, wiener: "bool | str" = False
+    ):
+        """``wiener`` joins a Wiener sidecar and emits 7-channel inputs
         [rx_re, rx_im, ls_re, ls_im, mask, wiener_re, wiener_im] for
         residual-on-Wiener training (models/inputs.py
-        apply_output_residual)."""
+        apply_output_residual). ``True`` (or ``"wiener"``) loads the
+        oracle-prior sidecar (``<split>_wiener_manifest.json``);
+        ``"bwiener"`` loads the blind-prior one — both written by
+        scripts/compute_wiener.py."""
         p = Path(path)
+        manifest = None
         if p.suffix == ".json":
             manifest = json.loads(p.read_text())
             parts = [_load_file(p.parent / f) for f in manifest["files"]]
@@ -43,15 +47,30 @@ class ChannelDataset:
             }
         else:
             self.arrays = _load_file(p)
-        self.wiener = wiener
+        self.wiener = bool(wiener)
         if wiener and "H_wiener" not in self.arrays:
-            wp = Path(str(p).replace("_manifest.json", "_wiener_manifest.json"))
+            tag = "wiener" if wiener is True else str(wiener)
+            if manifest is None:
+                raise ValueError(
+                    "wiener sidecars require a manifest-backed split "
+                    f"(got {p}); pass the <split>_manifest.json path"
+                )
+            wp = p.parent / f"{p.name.replace('_manifest.json', '')}_{tag}_manifest.json"
             if not wp.exists():
                 raise FileNotFoundError(
                     f"wiener sidecar manifest {wp} not found — run "
                     "scripts/compute_wiener.py first"
                 )
             wm = json.loads(wp.read_text())
+            src_fp = wm.get("source_fingerprint")
+            split_fp = manifest.get("fingerprint")
+            if src_fp is not None and split_fp is not None and src_fp != split_fp:
+                raise ValueError(
+                    f"wiener sidecar {wp.name} was computed from a dataset "
+                    f"with fingerprint {src_fp}, but this split's "
+                    f"fingerprint is {split_fp} — regenerate the sidecars "
+                    "(scripts/compute_wiener.py)"
+                )
             hw = np.concatenate(
                 [_load_file(wp.parent / f)["H_wiener"] for f in wm["files"]],
                 axis=0,

@@ -19,19 +19,33 @@ def main():
     parser.add_argument("--data-dir", default="data")
     parser.add_argument("--splits", nargs="*", default=["train", "val", "test"])
     parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument(
+        "--estimator", default="mmse_full",
+        choices=["mmse_full", "mmse_full_est"],
+        help="'mmse_full' = oracle priors (default); 'mmse_full_est' = "
+        "BLIND priors estimated from each frame (estimators/blind.py)",
+    )
+    parser.add_argument(
+        "--tag", default=None,
+        help="sidecar file tag (default: 'wiener' for mmse_full, "
+        "'bwiener' for mmse_full_est)",
+    )
     args = parser.parse_args()
 
     cfg = load_cfg(args)
     from ce5g_tpu.data.wiener import compute_wiener_sidecar
 
+    tag = args.tag or ("bwiener" if args.estimator == "mmse_full_est" else "wiener")
     for split in args.splits:
         mp = Path(args.data_dir) / f"{split}_manifest.json"
         if not mp.exists():
             print(f"{split}: no manifest at {mp}, skipping")
             continue
-        wm = compute_wiener_sidecar(cfg, mp, args.batch_size)
+        wm = compute_wiener_sidecar(
+            cfg, mp, args.batch_size, estimator=args.estimator, tag=tag
+        )
         print(
-            f"{split}: wiener sidecar complete "
+            f"{split}: {tag} sidecar complete "
             f"({wm['samples_per_second']:.1f} samples/s)"
         )
 

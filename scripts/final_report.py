@@ -31,8 +31,15 @@ def _get(d, *keys, default=None):
 def build_headline(results_dir: Path, model_dir: Path) -> str:
     lines = []
 
+    def _round_num(p: Path) -> int:
+        try:
+            return int("".join(ch for ch in p.stem.split("_r")[-1] if ch.isdigit()))
+        except ValueError:
+            return -1
+
     bench = None
-    for bf in sorted(Path(".").glob("BENCH_r*.json"), reverse=True):
+    # numeric round order — lexical reverse sort would pick r09 over r10
+    for bf in sorted(Path(".").glob("BENCH_r*.json"), key=_round_num, reverse=True):
         try:
             bench = json.loads(bf.read_text())
             # driver-recorded BENCH files nest the bench.py line under
@@ -63,13 +70,18 @@ def build_headline(results_dir: Path, model_dir: Path) -> str:
             "dB on the models' per-sample slice basis) — see "
             "PLATEAU_DIAGNOSIS.md.",
         ]
-        if "cnn_wiener" in sv:
+        if "cnn_wiener" in sv and "mmse_full" in sv:
+            delta = sv["mmse_full"] - sv["cnn_wiener"]
+            rel = (
+                f"{_f(delta)} dB better than"
+                if delta >= 0
+                else f"{_f(-delta)} dB behind"
+            )
             lines += [
                 f"- **Best learned estimator**: `cnn_wiener` "
                 f"(residual-on-Wiener head, per-sample nmse loss) at "
-                f"{_f(sv['cnn_wiener'])} dB — "
-                f"{_f(sv.get('mmse_full', 0) - sv['cnn_wiener'])} dB better "
-                "than the full-Wiener classical estimator on the same "
+                f"{_f(sv['cnn_wiener'])} dB — {rel} "
+                "the full-Wiener classical estimator on the same "
                 "basis at roughly half its latency (a metric-alignment "
                 "win; see PLATEAU_DIAGNOSIS.md).",
             ]

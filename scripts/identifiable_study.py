@@ -13,10 +13,16 @@ Methods compared on the SIMO test split, all per-SNR:
     conditional-mean bound for this Gaussian channel — no estimator,
     neural or classical, can beat it);
   * mmse_full_blind — the same Wiener with fixed NOMINAL priors
-    (EVA / 100 Hz / 15 dB) regardless of the frame's truth: the honest
+    (EVA / 100 Hz / 15 dB) regardless of the frame's truth: the naive
     deployable-classical baseline when genie side-information is absent;
+  * mmse_full_est — round 5: the same Wiener with priors ESTIMATED from
+    each frame's own pilots (estimators/blind.py): the strong deployable
+    classical baseline;
   * trained models (cnn, cnn_wiener, resnet, ...) — blind by construction
-    (they see only rx / H_ls / mask [/ wiener feature]).
+    (they see only rx / H_ls / mask [/ wiener feature]). `cnn_wiener`
+    consumes the ORACLE-prior wiener feature (inherits the genie);
+    `cnn_wiener_blind` consumes the mmse_full_est feature — fully blind
+    end to end.
 
 Writes results_simo/identifiable_study.json + ORTHOGONAL_STUDY.md (the
 latter is ALSO copied into results/ so the diagnosis note's pointer holds).
@@ -90,7 +96,11 @@ def main():
     parser.add_argument("--model-dir", default="models_simo")
     parser.add_argument("--results-dir", default="results_simo")
     parser.add_argument("--num-samples", type=int, default=None)
-    parser.add_argument("--models", nargs="*", default=["cnn", "cnn_wiener", "resnet"])
+    parser.add_argument(
+        "--models", nargs="*",
+        default=["cnn", "cnn_wiener", "cnn_wiener_blind", "resnet",
+                 "transformer", "lstm"],
+    )
     args = parser.parse_args()
 
     cfg = load_cfg(args)
@@ -113,7 +123,7 @@ def main():
     base = evaluate_baselines(ds, n)
     per_sample["ls_stored"] = np.asarray(base["per_sample"]["LS"])
 
-    est = evaluate_estimators(ds, cfg, ("mmse", "mmse_full"), n)
+    est = evaluate_estimators(ds, cfg, ("mmse", "mmse_full", "mmse_full_est"), n)
     for k, r in est.items():
         per_sample[k] = np.asarray(r["per_sample"])
         latency[k] = r["latency_ms_per_sample"]
@@ -122,15 +132,26 @@ def main():
         evaluate_blind_wiener(ds, cfg, n)
     )
 
+    # blind-wiener-feature dataset view (mmse_full_est sidecars), if built
+    ds_blind = None
+    if (d / "test_bwiener_manifest.json").exists():
+        ds_blind = ChannelDataset(str(d / "test_manifest.json"), wiener="bwiener")
+
     wcfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, input_channels=7)
     )
     model_meta = {}
     for mt in args.models:
-        c = wcfg if mt.endswith("_wiener") else cfg
+        c = wcfg if "_wiener" in mt else cfg
         ev = ModelEvaluator(c, args.model_dir, results_dir=args.results_dir)
+        ds_mt = ds
+        if "_wiener_blind" in mt:
+            if ds_blind is None:
+                print(f"no bwiener sidecars for {mt}; skipping")
+                continue
+            ds_mt = ds_blind
         try:
-            r = ev.evaluate_model(mt, ds, n)
+            r = ev.evaluate_model(mt, ds_mt, n)
         except FileNotFoundError:
             print(f"no checkpoint for {mt}; skipping")
             continue
@@ -175,10 +196,13 @@ def main():
         "mmse": "yes (SNR)",
         "mmse_full": "yes (SNR+Doppler+profile)",
         "mmse_full_blind": "no (fixed EVA/100 Hz/15 dB)",
-        # *_wiener models consume the mmse_full feature, which was computed
-        # WITH oracle priors — they inherit the genie through the feature
-        "cnn_wiener": "inherited (wiener input feature)",
-        "resnet_wiener": "inherited (wiener input feature)",
+        "mmse_full_est": "no (priors estimated from frame)",
+        # cnn_wiener consumes the mmse_full feature, which was computed
+        # WITH oracle priors — it inherits the genie through the feature;
+        # cnn_wiener_blind consumes the mmse_full_est feature instead
+        "cnn_wiener": "inherited (oracle wiener input feature)",
+        "resnet_wiener": "inherited (oracle wiener input feature)",
+        "cnn_wiener_blind": "no (blind wiener input feature)",
     }
     for k in sorted(overall, key=lambda k: overall[k]):
         lines.append(
@@ -204,17 +228,20 @@ def main():
         "this Gaussian channel: no estimator that sees the same "
         "observations can beat it. Its oracle inputs (true SNR, Doppler, "
         "delay profile) are NOT available to a deployed receiver.",
-        "- `mmse_full_blind` is the same filter without the genie: the "
-        "fair classical baseline for the learned models, which are blind "
-        "by construction.",
+        "- `mmse_full_blind` (fixed nominal priors) and `mmse_full_est` "
+        "(per-frame estimated priors, round 5 — see estimators/blind.py) "
+        "are the same filter without the genie: the fair classical "
+        "baselines for the learned models, which are blind by "
+        "construction.",
         "- The learned-vs-classical headline therefore reads: model vs "
-        "`mmse_full_blind` (fair fight) and model vs `mmse_full` "
+        "`mmse_full_est` (fair fight) and model vs `mmse_full` "
         "(distance to the bound).",
         "- `cnn_wiener` consumes the oracle-computed Wiener feature, so "
         "it inherits the genie: read it as \"the learned head loses "
         "almost nothing on top of the bound while adding robustness\", "
-        "not as a blind result. The blind learned headline is the plain "
-        "`cnn` row.",
+        "not as a blind result. The blind learned headline is "
+        "`cnn_wiener_blind` (blind feature + learned head); the blind "
+        "single-network headline is the `resnet`/`cnn` row.",
         "",
     ]
     (rd / "ORTHOGONAL_STUDY.md").write_text("\n".join(lines))

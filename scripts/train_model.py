@@ -46,6 +46,12 @@ def main():
         help="7-channel wiener-residual layout (needs compute_wiener.py "
         "sidecars); checkpoints saved as <model>_wiener_*",
     )
+    parser.add_argument(
+        "--wiener-tag", default="wiener",
+        help="which sidecar to join: 'wiener' (oracle priors, default) or "
+        "'bwiener' (blind priors); non-default tags suffix the run name "
+        "(e.g. cnn_wiener_blind for --wiener-tag bwiener)",
+    )
     parser.add_argument("--evaluate", action="store_true", help="evaluate on test split")
     parser.add_argument(
         "--resume", action="store_true",
@@ -84,8 +90,9 @@ def main():
         merged = d / f"{split}.npz"
         return str(merged if merged.exists() else d / f"{split}_manifest.json")
 
-    train_ds = ChannelDataset(split_path("train"), wiener=args.wiener)
-    val_ds = ChannelDataset(split_path("val"), wiener=args.wiener)
+    wiener_arg = args.wiener_tag if args.wiener else False
+    train_ds = ChannelDataset(split_path("train"), wiener=wiener_arg)
+    val_ds = ChannelDataset(split_path("val"), wiener=wiener_arg)
 
     mesh = None
     if args.shard:
@@ -93,7 +100,13 @@ def main():
 
         mesh = make_mesh()
 
-    run_name = f"{args.model}_wiener" if args.wiener else args.model
+    run_name = args.model
+    if args.wiener:
+        run_name += "_wiener"
+        if args.wiener_tag == "bwiener":
+            run_name += "_blind"
+        elif args.wiener_tag != "wiener":
+            run_name += f"_{args.wiener_tag}"
     trainer = Trainer(
         cfg, model_type=args.model, mesh=mesh, name=run_name,
         device_data=False if args.host_staging else None,
@@ -111,7 +124,7 @@ def main():
     if args.evaluate:
         from ce5g_tpu.eval import ModelEvaluator
 
-        test_ds = ChannelDataset(split_path("test"), wiener=args.wiener)
+        test_ds = ChannelDataset(split_path("test"), wiener=wiener_arg)
         ev = ModelEvaluator(cfg, args.model_dir, results_dir=args.results_dir)
         r = ev.evaluate_model(run_name, test_ds)
         r.pop("per_sample_nmse", None)
