@@ -35,8 +35,11 @@ def tiny_cfg():
         mimo=MIMOConfig(num_tx=2, num_rx=2),
         channel=ChannelConfig(doppler_hz=(50.0,)),
         pilots=PilotConfig(density=(0.1,), max_density=0.15),
-        simulation=SimulationConfig(snr_range_db=(5.0, 15.0)),
-        dataset=DatasetConfig(chunk_size=16),
+        # generation-relevant fields MATCH tests/test_data_train.py's
+        # tiny_cfg so both files share one compiled generation pipeline
+        # (data/generator.py _generation_key)
+        simulation=SimulationConfig(snr_range_db=(10.0, 20.0)),
+        dataset=DatasetConfig(chunk_size=8),
         model=ModelConfig(cnn_hidden_channels=(8,)),
         training=TrainingConfig(
             epochs=1, batch_size=4, mixed_precision=False,
