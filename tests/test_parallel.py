@@ -62,10 +62,11 @@ def test_sharded_train_step(mesh8):
     [
         "cnn",
         "lstm",
-        "hybrid",
-        # resnet/transformer sharding is exercised every round by the
-        # driver's dryrun_multichip; keep the fast suite to the three
-        # distinct parameter-shape classes (conv, dense+RNN, conv+RNN)
+        # every family's sharding is exercised every round by the driver's
+        # dryrun_multichip; the fast suite keeps the two distinct
+        # parameter-shape classes (conv, dense+RNN) — hybrid (conv+RNN)
+        # joins resnet/transformer under -m slow
+        pytest.param("hybrid", marks=pytest.mark.slow),
         pytest.param("resnet", marks=pytest.mark.slow),
         pytest.param("transformer", marks=pytest.mark.slow),
     ],
