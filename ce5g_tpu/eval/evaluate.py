@@ -223,11 +223,25 @@ class ModelEvaluator:
         checkpoint files."""
         import dataclasses
 
+        from ..models.factory import MODEL_TYPES
+
         arch = model_type
         mcfg = self.cfg.model
         if "_wiener" in model_type:
             arch = model_type.split("_wiener", 1)[0]
             mcfg = dataclasses.replace(mcfg, input_channels=7)
+        if arch not in MODEL_TYPES:
+            # strip a trailing run tag (cnn_tuned → cnn); longest match so
+            # cnn_lstm resolves before cnn
+            for t in sorted(MODEL_TYPES, key=len, reverse=True):
+                if arch.startswith(t + "_"):
+                    arch = t
+                    break
+            else:
+                raise ValueError(
+                    f"cannot resolve architecture from {model_type!r}; "
+                    f"known types: {MODEL_TYPES}"
+                )
         model = get_model(arch, mcfg, seed=self.cfg.seed)
         meta = load_checkpoint(self.model_dir / f"{model_type}_{checkpoint}", model)
         return model, meta
