@@ -79,6 +79,18 @@ def main():
             iters, batch
         )
 
+    # Round-5 diagnosis of the r3→r4 "compile-time regression": ~110 s of
+    # the old compile_s was ONE-TIME device/tunnel initialization paid by
+    # the first program the process executes (measured: a scanned
+    # sim-only program pays 115 s on first run while its XLA compile is
+    # 7 s; the next, larger program runs in 1.8 s). Warm the device with
+    # a trivial program first so `compile_s` measures THIS pipeline's
+    # compile + first run, and report the init separately.
+    t0 = time.time()
+    jax.block_until_ready(jax.jit(lambda a: a @ a)(jnp.ones((8, 8))))
+    init_s = time.time() - t0
+    print(f"device init/warmup: {init_s:.1f}s", file=sys.stderr)
+
     t0 = time.time()
     nmse = float(many(keys_for(0)))
     compile_s = time.time() - t0
@@ -121,8 +133,12 @@ def main():
                 "vs_baseline": round(frames_per_s / REF_FRAMES_PER_S, 1),
                 # compile+first-run seconds (cached reload when the
                 # persistent cache is warm) — tracked so compile-time
-                # regressions are visible round over round
+                # regressions are visible round over round. init_s is the
+                # one-time device/tunnel bring-up a trivial warmup program
+                # absorbs; r4's 111 s compile_s was init_s+compile_s
+                # conflated (see comment above).
                 "compile_s": round(compile_s, 1),
+                "init_s": round(init_s, 1),
                 "nmse_db": round(float(10 * jnp.log10(nmse)), 2),
             }
         )

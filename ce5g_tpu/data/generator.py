@@ -75,11 +75,37 @@ def draw_params(keys, cfg: ExperimentConfig) -> FrameParams:
     return jax.vmap(draw_one)(keys)
 
 
+import dataclasses as _dc
+
+from ..config import DatasetConfig as _DSC
+from ..config import ModelConfig as _MC
+from ..config import TrainingConfig as _TC
+
+
+def _generation_key(cfg: ExperimentConfig) -> ExperimentConfig:
+    """Strip every field the chunk function does not read (dataset/model/
+    training/paths) so configs differing only there — e.g. a save_format
+    or chunk_size variant, or a test fixture with a different model —
+    share ONE compiled generation program instead of recompiling the
+    whole pipeline."""
+    return _dc.replace(
+        cfg,
+        dataset=_DSC(),
+        model=_MC(),
+        training=_TC(),
+        data_dir=".",
+        model_dir=".",
+        results_dir=".",
+        log_dir=".",
+    )
+
+
 @functools.lru_cache(maxsize=8)
 def _chunk_fn_cached(cfg: ExperimentConfig) -> Callable:
-    """One jitted chunk function per config. ExperimentConfig is a frozen
-    hashable dataclass, so this caches on VALUE: every DatasetGenerator
-    (and test fixture) with the same config reuses one compiled program
+    """One jitted chunk function per GENERATION-relevant config value.
+    ExperimentConfig is a frozen hashable dataclass, so this caches on
+    VALUE: every DatasetGenerator (and test fixture) with the same
+    physics/pilot/simulation settings reuses one compiled program
     instead of re-tracing a fresh closure — jax's jit cache is keyed by
     function identity, which a per-instance closure always misses."""
     return generate_chunk_fn(cfg, table_for(cfg))
@@ -210,7 +236,7 @@ class DatasetGenerator:
         self.out.mkdir(parents=True, exist_ok=True)
         self.mesh = mesh
         self.table = table_for(cfg)
-        self._fn = _chunk_fn_cached(cfg)
+        self._fn = _chunk_fn_cached(_generation_key(cfg))
         self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
 
     # -- paths
@@ -256,7 +282,13 @@ class DatasetGenerator:
 
     def _run_chunk(self, split: str, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         n = len(idxs)
-        pad = (-n) % self._n_data  # mesh sharding needs a divisible batch
+        # Pad every chunk to the full chunk_size (and mesh divisibility):
+        # a trailing partial chunk then reuses the full chunk's compiled
+        # program instead of paying a fresh whole-pipeline XLA compile for
+        # its one-off shape. Padded rows are sliced off after the fetch.
+        target = max(self.cfg.dataset.chunk_size, n)
+        target += (-target) % self._n_data
+        pad = target - n
         keys = self._keys_for(split, np.concatenate([idxs, idxs[:1].repeat(pad)]) if pad else idxs)
         if self.mesh is not None:
             from ..parallel.mesh import data_sharding

@@ -225,6 +225,7 @@ def interpolate_grid(
     value_grid: jax.Array,
     mask: jax.Array,
     method: str = "linear",
+    impl: "str | None" = None,
 ):
     """Grid-form scattered interpolation — the round-5 fast path.
 
@@ -251,6 +252,15 @@ def interpolate_grid(
     """
     if method not in ("nearest", "linear"):
         raise ValueError(f"interpolate_grid supports nearest/linear, got {method!r}")
+    if impl is None:
+        impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    if impl == "fused" and value_grid.ndim == 3:
+        # fully-fused Pallas kernel: fills + selection + apply in VMEM —
+        # the XLA path below materializes the (R, S, C, K) selection
+        # product through HBM (measured 16-45 ms/batch of 256 on v5e)
+        from ..ops.interp_fused_pallas import interpolate_grid_fused
+
+        return interpolate_grid_fused(value_grid, mask, method)
     s, k = mask.shape[-2], mask.shape[-1]
     ok = mask > 0
     iota = jnp.arange(k, dtype=jnp.float32)
