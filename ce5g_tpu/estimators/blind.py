@@ -180,12 +180,20 @@ def estimate_priors(
 
     fc = jnp.conj(f)
     # e[r,s,d] = Σ_k g·F*  ;  dmat[s,d,d'] = Σ_k m·F*[d]F[d']
+    # NOTE: every mixed-dtype einsum operand is cast to complex64
+    # explicitly — the axon TPU compiler hard-crashes (shape_util CHECK
+    # "ElementIsComplex") on real×complex contractions.
     e = jnp.einsum("rsk,dk->rsd", g, fc, precision=_HI)
     a = fc[:, None, :] * f[None, :, :]  # (D, D, K)
-    dmat = jnp.einsum("sk,dek->sde", m, a, precision=_HI)
+    dmat = jnp.einsum(
+        "sk,dek->sde", m.astype(jnp.complex64), a, precision=_HI
+    )
 
-    # G0[(d,m),(e,n)] = Σ_s q[s,m] q[s,n] dmat[s,d,e]  (Hermitian)
-    g0 = jnp.einsum("sm,sn,sde->dmen", q, q, dmat.astype(jnp.complex64))
+    # G0[(d,m),(e,n)] = Σ_s q[s,m] q[s,n] dmat[s,d,e]  (Hermitian).
+    # precision=HIGHEST is load-bearing: TPU bf16 matmul passes leave the
+    # gram non-Hermitian at the 1e-3 level and the Cholesky NaNs.
+    qc = q.astype(jnp.complex64)
+    g0 = jnp.einsum("sm,sn,sde->dmen", qc, qc, dmat, precision=_HI)
     g0 = g0.reshape(r_dim, r_dim)
     b = jnp.einsum("sm,rsd->rdm", q.astype(e.dtype), e, precision=_HI)
     b = b.reshape(-1, r_dim)  # (R, r)
@@ -230,8 +238,8 @@ def estimate_priors(
         w_prof[:, None, :, None] * lam[None, :, None, :]
     ).reshape(-1, r_dim)  # (C·NF, r)
     a2 = jnp.abs(x_dof) ** 2  # (r, r) smearing of true power into measured
-    templ = cand @ a2.T * r_rx  # (C·NF, r)
-    tp = templ @ power
+    templ = jnp.matmul(cand, a2.T, precision=_HI) * r_rx  # (C·NF, r)
+    tp = jnp.matmul(templ, power, precision=_HI)
     tt = jnp.sum(templ * templ, axis=1)
     alpha = jnp.maximum(tp, 0.0) / jnp.maximum(tt, 1e-20)
     score_all = (
@@ -253,9 +261,15 @@ def estimate_priors(
     #       adapts to the realized fading, never zeroes a live tap),
     # plus a small floor. w_d is defined so E|h_d(per symbol)|² = w_d.
     delta = 1e-2 * jnp.trace(a2) / r_dim + 1e-8
-    ata = a2.T @ a2 + delta * jnp.eye(r_dim, dtype=a2.dtype)
+    ata = jnp.matmul(a2.T, a2, precision=_HI) + delta * jnp.eye(
+        r_dim, dtype=a2.dtype
+    )
     v_emp = jnp.maximum(
-        jnp.linalg.solve(ata, a2.T @ (power / jnp.maximum(r_rx, 1))), 0.0
+        jnp.linalg.solve(
+            ata,
+            jnp.matmul(a2.T, power / jnp.maximum(r_rx, 1), precision=_HI),
+        ),
+        0.0,
     ).reshape(d_n, m_n)
     w_emp = jnp.sum(v_emp, axis=1) / s_n  # (D,)
     lam_best = lam[best % n_fd]  # (M,)

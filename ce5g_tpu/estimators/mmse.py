@@ -369,7 +369,11 @@ def mmse_full_estimate(
     else:
         e = jnp.einsum("rsk,pk->rsp", g, fc, precision=_HI)  # (R, S, n_paths)
         a = fc[:, None, :] * f[None, :, :]  # (n_paths, n_paths, K)
-        d = jnp.einsum("sk,pqk->spq", m, a, precision=_HI)  # (S, n_paths, n_paths)
+        # cast the real mask: the axon TPU compiler CHECK-crashes on
+        # real×complex contractions (see estimators/blind.py note)
+        d = jnp.einsum(
+            "sk,pqk->spq", m.astype(jnp.complex64), a, precision=_HI
+        )  # (S, n_paths, n_paths)
 
     # gram[(p,m),(q,n)] = T·√(w_p w_q)·Σ_s V[s,m]V[s,n]·D[s,p,q], computed
     # as ONE (S, M·N)ᵀ×(S, P·Q) matmul + reshape/transpose (compile-cheap).

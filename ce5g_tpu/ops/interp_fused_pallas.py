@@ -37,12 +37,14 @@ _FIN = 1e29  # "is a real candidate" threshold
 
 def _shift(x, d: int, col, k: int, reverse: bool, fill):
     """Shift x by d along lanes (+d = from the left / lower k), replacing
-    the wrapped-in region with ``fill``."""
+    the wrapped-in region with ``fill``. ``col`` broadcasts against x
+    (trailing-dim aligned), so x may carry leading plane dims."""
+    ax = x.ndim - 1
     if reverse:
-        rolled = pltpu.roll(x, k - d, axis=1)
+        rolled = pltpu.roll(x, k - d, axis=ax)
         ok = col < (k - d)
     else:
-        rolled = pltpu.roll(x, d, axis=1)
+        rolled = pltpu.roll(x, d, axis=ax)
         ok = col >= d
     return jnp.where(ok, rolled, fill)
 
@@ -95,10 +97,9 @@ def _kernel(m_ref, vr_ref, vi_ref, or_ref, oi_ref, *, s: int, r_cnt: int,
     ok = (mask > 0).astype(jnp.float32)
     depth = 1 if method == "nearest" else 2
 
-    vals = []
-    for r in range(r_cnt):
-        vals.append(vr_ref[r])
-        vals.append(vi_ref[r])
+    # one stacked (2R, S, K) value tensor: shifts/selects hit all planes
+    # in single wide ops instead of per-plane dispatches
+    vals = [jnp.concatenate([vr_ref[...], vi_ref[...]], axis=0)]
 
     p1l, p2l, v1l, v2l = _fill_pass(ok, colf, vals, col, k, depth, False)
     p1r, p2r, v1r, v2r = _fill_pass(ok, colf, vals, col, k, depth, True)
@@ -112,57 +113,46 @@ def _kernel(m_ref, vr_ref, vi_ref, or_ref, oi_ref, *, s: int, r_cnt: int,
     # a pilot exactly at column k is BOTH sides' nearest — count it once
     d1r = jnp.where(p1r == p1l, _INF, d1r)
     if method == "nearest":
-        cands = [(d1l, v1l), (d1r, v1r)]
+        d_classes = [d1l, d1r]
+        v_classes = [v1l[0], v1r[0]]
     else:
-        cands = [
-            (d1l, v1l), (dist(p2l, True), v2l),
-            (d1r, v1r), (dist(p2r, False), v2r),
-        ]
+        d_classes = [d1l, dist(p2l, True), d1r, dist(p2r, False)]
+        v_classes = [v1l[0], v2l[0], v1r[0], v2r[0]]
+    n_cls = len(d_classes)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (s, k), 0).astype(jnp.float32)
-    rows_re = [[] for _ in range(r_cnt)]
-    rows_im = [[] for _ in range(r_cnt)]
+    # candidate axis c = (class, src_row), class-major: d1sq (C, K),
+    # rowpen (S_out, C) built by tiling the (S_out, S_src) penalty block
+    d1sq = jnp.concatenate(
+        [jnp.minimum(d * d, _INF) for d in d_classes], axis=0
+    )  # (C, K)
+    i_out = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0).astype(jnp.float32)
+    i_src = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1).astype(jnp.float32)
+    pen = (i_out - i_src) ** 2  # (S_out, S_src)
+    rowpen = jnp.concatenate([pen] * n_cls, axis=1)  # (S_out, C)
 
-    for s_out in range(s):
-        rowpen = (jnp.float32(s_out) - row) ** 2
-        d2 = [jnp.minimum(rowpen + d * d, _INF) for d, _ in cands]
-        m1 = d2[0].min(axis=0, keepdims=True)
-        for dd in d2[1:]:
-            m1 = jnp.minimum(m1, dd.min(axis=0, keepdims=True))
-        if method == "nearest":
-            ws = [(dd <= m1).astype(jnp.float32) * (dd < _FIN) for dd in d2]
+    d2 = jnp.minimum(rowpen[:, :, None] + d1sq[None, :, :], _INF)  # (S,C,K)
+    m1 = jnp.min(d2, axis=1, keepdims=True)  # (S, 1, K)
+    if method == "nearest":
+        w = (d2 <= m1).astype(jnp.float32) * (d2 < _FIN)
+    else:
+        m2 = jnp.min(jnp.where(d2 > m1, d2, _INF), axis=1, keepdims=True)
+        m3 = jnp.min(jnp.where(d2 > m2, d2, _INF), axis=1, keepdims=True)
+        fin = (d2 < _FIN).astype(jnp.float32)
+        w = jnp.where(d2 <= m1, 1.0 / (m1 + 1e-6), 0.0)
+        w = w + jnp.where((d2 > m1) & (d2 <= m2), 1.0 / (m2 + 1e-6), 0.0)
+        w = w + jnp.where((d2 > m2) & (d2 <= m3), 1.0 / (m3 + 1e-6), 0.0)
+        w = w * fin
+    inv = 1.0 / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+    w = w * inv  # (S_out, C, K), normalized
+
+    # apply: out_plane[s_out] = Σ_c w[s_out, c] · v_cand[plane, c]
+    v_cand = jnp.concatenate(v_classes, axis=1)  # (2R, C, K)
+    for p in range(2 * r_cnt):
+        out_p = jnp.sum(w * v_cand[p][None, :, :], axis=1)  # (S_out, K)
+        if p < r_cnt:
+            or_ref[p] = out_p
         else:
-            above1 = [jnp.where(dd > m1, dd, _INF) for dd in d2]
-            m2 = above1[0].min(axis=0, keepdims=True)
-            for dd in above1[1:]:
-                m2 = jnp.minimum(m2, dd.min(axis=0, keepdims=True))
-            above2 = [jnp.where(dd > m2, dd, _INF) for dd in d2]
-            m3 = above2[0].min(axis=0, keepdims=True)
-            for dd in above2[1:]:
-                m3 = jnp.minimum(m3, dd.min(axis=0, keepdims=True))
-            ws = []
-            for dd in d2:
-                fin = (dd < _FIN).astype(jnp.float32)
-                w = jnp.where(dd <= m1, 1.0 / (m1 + 1e-6), 0.0)
-                w = w + jnp.where((dd > m1) & (dd <= m2), 1.0 / (m2 + 1e-6), 0.0)
-                w = w + jnp.where((dd > m2) & (dd <= m3), 1.0 / (m3 + 1e-6), 0.0)
-                ws.append(w * fin)
-        wsum = ws[0].sum(axis=0, keepdims=True)
-        for w in ws[1:]:
-            wsum = wsum + w.sum(axis=0, keepdims=True)
-        inv = 1.0 / jnp.maximum(wsum, 1e-12)  # (1, K)
-        for r in range(r_cnt):
-            acc_re = (ws[0] * cands[0][1][2 * r]).sum(axis=0, keepdims=True)
-            acc_im = (ws[0] * cands[0][1][2 * r + 1]).sum(axis=0, keepdims=True)
-            for w, (_, vv) in zip(ws[1:], cands[1:]):
-                acc_re = acc_re + (w * vv[2 * r]).sum(axis=0, keepdims=True)
-                acc_im = acc_im + (w * vv[2 * r + 1]).sum(axis=0, keepdims=True)
-            rows_re[r].append(acc_re * inv)
-            rows_im[r].append(acc_im * inv)
-
-    for r in range(r_cnt):
-        or_ref[r] = jnp.concatenate(rows_re[r], axis=0)
-        oi_ref[r] = jnp.concatenate(rows_im[r], axis=0)
+            oi_ref[p - r_cnt] = out_p
 
 
 @functools.partial(jax.jit, static_argnames=("method", "interpret"))

@@ -290,6 +290,16 @@ def main():
         from ce5g_tpu.models import get_model
         from ce5g_tpu.models.loss import channel_estimation_loss
 
+        # Round-5 finding: the estimator sections' live jitted programs +
+        # buffers left so little free HBM that XLA scheduled the resnet
+        # b256 train step 8× slower (57.4 ms in-suite vs 6.9 ms in a
+        # clean process — same step, bit-identical formulation, verified
+        # by a 5-way bisect). Benchmarks must not inherit another
+        # section's memory pressure: drop compiled programs first (their
+        # input/output buffers go with them). For fully clean numbers run
+        # --train in its own process (the committed artifact does).
+        jax.clear_caches()
+
         rng_host = np.random.default_rng(0)
         for model_type in args.train_models:
             for bt in args.train_batches:
