@@ -480,16 +480,20 @@ class Trainer:
             f"{epochs} epochs, batch {cfg.training.batch_size}"
         )
 
-        # auto mode: on unless a mesh shards batches per step. RNN models
-        # (lstm/hybrid — their RngCount mutations cannot nest inside the
-        # epoch lax.scan) use the device-resident PER-STEP path instead of
-        # host staging: same HBM-resident data, python loop of async
-        # per-step dispatches (round 5 — host staging measured ~260 s vs
-        # ~30 s per epoch through the dev tunnel).
+        # auto mode: on unless a mesh shards batches per step, or the model
+        # contains nnx.RNN scans (lstm/hybrid — their RngCount mutations
+        # cannot nest inside the outer epoch lax.scan trace). Explicit
+        # device_data=True routes RNN models through the device-resident
+        # PER-STEP path (HBM-resident data, python loop of per-step jit
+        # dispatches): on normal hardware that removes all per-step host
+        # traffic; on the tunneled dev chip each dispatch of the big state
+        # pytree costs ~0.6 s, so host staging is the better default there
+        # (measured 382 s vs 260 s per epoch — the tunnel re-ships
+        # argument metadata per call).
         use_device = (
             self.device_data
             if self.device_data is not None
-            else self.mesh is None
+            else (self.mesh is None and not self._has_rnn)
         )
         use_steps = use_device and self._has_rnn
         if use_device:

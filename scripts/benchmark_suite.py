@@ -15,6 +15,7 @@ measurement notes for the tunneled axon TPU runtime:
 per batch) for the pipeline stages.
 """
 import argparse
+import os
 import json
 import sys
 import time
@@ -66,7 +67,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ce5g_jax_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("CE5G_CACHE_DIR", "/tmp/ce5g_jax_cache"),
+    )
 
     from ce5g_tpu import MIMOConfig
     from ce5g_tpu.estimators.api import estimate_batch
@@ -248,7 +252,7 @@ def main():
     # ---- host codec throughput (native vs npz) on one realistic chunk
     from ce5g_tpu.data.ce5g_format import read_ce5g, write_ce5g
     from ce5g_tpu.native import have_native
-    import tempfile, os
+    import tempfile
     from pathlib import Path
 
     rng = np.random.default_rng(0)

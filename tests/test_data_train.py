@@ -207,6 +207,13 @@ class TestTraining:
         trainer = Trainer(tiny_cfg, model_type="lstm", log=lambda *_: None)
         result = trainer.train(train_ds, val_ds, epochs=1, model_dir=str(tmp_path))
         assert np.isfinite(result["best_val_loss"])
+        # explicit device_data=True routes RNN models through the
+        # device-resident per-step path (round 5) — same semantics
+        t2 = Trainer(
+            tiny_cfg, model_type="lstm", log=lambda *_: None, device_data=True
+        )
+        r2 = t2.train(train_ds, val_ds, epochs=1, model_dir=str(tmp_path / "d"))
+        assert np.isfinite(r2["best_val_loss"])
         # evaluator must handle recurrent modules (nnx.RNN mutates RngCount
         # even at train=False → needs nnx.jit, round-4 regression)
         from ce5g_tpu.eval import ModelEvaluator
