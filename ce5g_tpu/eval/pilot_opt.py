@@ -165,13 +165,18 @@ class PilotOptimizer:
             h_ls = estimate_batch(frames, cfg=cfg, estimator="ls", table=table)
             return frames, bits, h_est, h_ls
 
+        @jax.jit
         def slice_nmse(h_slice, h_true_slice):
             err = jnp.mean(jnp.abs(h_true_slice - h_slice) ** 2, axis=(1, 2))
             pwr = jnp.mean(jnp.abs(h_true_slice) ** 2, axis=(1, 2))
             return jnp.mean(err / (pwr + 1e-12))
 
+        @jax.jit
         def ber_rx0(h_sum0, frames, bits):
-            """BER on rx chain 0 given the summed-channel estimate."""
+            """BER on rx chain 0 given the summed-channel estimate.
+            jit is required, not just faster: several ops here (QAM
+            distance argmin among them) have no eager TPU lowering
+            through the tunneled runtime."""
             y0 = frames.rx_symbols[:, :, 0, :]  # (B, S, K)
             snr_lin = 10.0 ** (frames.params.snr_db / 10.0)
             sigma2 = (
