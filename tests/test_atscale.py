@@ -56,7 +56,12 @@ def test_digest_matches_materialized_chunk(small_cfg, tmp_path):
             v = arrays[k]
         got = np.asarray(jax.device_get(_array_digest(v)), np.float32)
         want = np.asarray(m["digests"][k][0], np.float32)
-        np.testing.assert_allclose(got, want, rtol=2e-6)
+        # fused-program vs eager reduction orders differ; the alternating
+        # component cancels toward 0, so it needs an absolute tolerance
+        # scaled by the uncancelled magnitude sum (component 0)
+        np.testing.assert_allclose(
+            got, want, rtol=3e-5, atol=1e-4 * max(want[0], 1.0)
+        )
 
 
 def test_digest_rejects_partial_chunks(small_cfg, tmp_path):
@@ -66,12 +71,30 @@ def test_digest_rejects_partial_chunks(small_cfg, tmp_path):
         )
 
 
-def test_online_train_updates_and_reports(small_cfg):
+def test_online_train_updates_and_reports(small_cfg, tmp_path):
+    # steps_per_dispatch=1 keeps the scanned body single-step — the CPU
+    # compile of sim+grad dominates this test's runtime
     out = atscale.online_train(
-        small_cfg, "cnn", total_samples=64, batch_size=16,
-        steps_per_dispatch=2, log=lambda *_: None,
+        small_cfg, "cnn", total_samples=32, batch_size=16,
+        steps_per_dispatch=1, lr_schedule="cosine",
+        checkpoint_dir=str(tmp_path / "cnn_online_best"),
+        log=lambda *_: None,
     )
-    assert out["steps"] == 4
-    assert out["total_samples"] == 64
+    assert out["steps"] == 2
+    assert out["total_samples"] == 32
     assert np.isfinite(out["first_loss"]) and np.isfinite(out["last_loss"])
     assert out["end_to_end_samples_per_second"] > 0
+    assert (tmp_path / "cnn_online_best" / "state.npz").exists()
+    assert (tmp_path / "cnn_online_best" / "meta.json").exists()
+
+
+@pytest.mark.slow  # compiles the blind-prior estimator inside the train scan
+def test_online_train_blind_wiener_layout(small_cfg):
+    out = atscale.online_train(
+        small_cfg, "cnn", total_samples=32, batch_size=16,
+        steps_per_dispatch=1, wiener_estimator="mmse_full_est",
+        loss_type="nmse", log=lambda *_: None,
+    )
+    assert out["wiener_estimator"] == "mmse_full_est"
+    assert out["loss_type"] == "nmse"
+    assert np.isfinite(out["last_loss"])

@@ -59,6 +59,8 @@ def test_linear_pointwise_close(density):
     assert rel < 0.05  # iid worst case; on smooth channels ≈ 0 (below)
 
 
+@pytest.mark.slow  # full-grid sim compile ~1 min on CPU; the small-grid
+# equivalence tests above cover the numerics every run
 def test_linear_nmse_equivalent_on_frames(cfg):
     """On real simulated channels the two linear paths must estimate
     equally well — the contract that matters for the factory."""
