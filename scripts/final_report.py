@@ -86,6 +86,25 @@ def build_headline(results_dir: Path, model_dir: Path) -> str:
                 "win; see PLATEAU_DIAGNOSIS.md).",
             ]
 
+    ats = results_dir / "at_scale_generation.json"
+    if ats.exists():
+        a = json.loads(ats.read_text())
+        dr = a.get("digest_run", {})
+        ot = a.get("online_train", {})
+        lines += [
+            f"- **At-scale factory**: {dr.get('samples', 0):,} frames "
+            f"through the full sim+LS pipeline at "
+            f"{_f(dr.get('device_samples_per_second'), ',.0f')} samples/s "
+            "sustained on one chip (digest-manifest materialization; "
+            "regenerate-and-verify "
+            f"{'PASS' if dr.get('verify_pass') else 'FAIL'}). "
+            "Online generate→train consumes "
+            f"{ot.get('total_samples', 0):,} fresh frames at "
+            f"{_f(ot.get('end_to_end_samples_per_second'), ',.0f')} "
+            "samples/s with no storage in the loop "
+            "(at_scale_generation.json).",
+        ]
+
     rows = []
     for f in sorted(results_dir.glob("*_test_results.json")):
         r = json.loads(f.read_text())
