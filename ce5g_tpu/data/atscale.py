@@ -270,9 +270,15 @@ def online_train(
         lr = optax.cosine_decay_schedule(tr.learning_rate, num_steps)
     else:
         lr = tr.learning_rate
-    optimizer = nnx.Optimizer(
-        model, optax.adamw(lr, weight_decay=tr.weight_decay), wrt=nnx.Param
-    )
+    # same clip policy as Trainer (make_optimizer): online batches at the
+    # low-pilot-count corner of the density grid can produce wild Wiener
+    # extrapolations and loss spikes — unclipped, one such batch NaNs the
+    # run
+    parts = []
+    if tr.gradient_clip > 0:
+        parts.append(optax.clip_by_global_norm(tr.gradient_clip))
+    parts.append(optax.adamw(lr, weight_decay=tr.weight_decay))
+    optimizer = nnx.Optimizer(model, optax.chain(*parts), wrt=nnx.Param)
     graphdef, state = nnx.split((model, optimizer))
     sk = split_key(cfg.seed, seed_split)
 

@@ -90,8 +90,18 @@ def test_online_train_updates_and_reports(small_cfg, tmp_path):
 
 @pytest.mark.slow  # compiles the blind-prior estimator inside the train scan
 def test_online_train_blind_wiener_layout(small_cfg):
+    import dataclasses
+
+    # keep the density grid >= 5% on the tiny 6x40 grid: the default 1%
+    # draw leaves 2 pilots per frame, and the blind-Wiener feature's
+    # extrapolation from 2 points is (correctly) wild — the production
+    # grids have >=84 pilots at 1% (K=599)
+    cfg = dataclasses.replace(
+        small_cfg,
+        pilots=dataclasses.replace(small_cfg.pilots, density=(0.05, 0.1)),
+    )
     out = atscale.online_train(
-        small_cfg, "cnn", total_samples=32, batch_size=16,
+        cfg, "cnn", total_samples=32, batch_size=16,
         steps_per_dispatch=1, wiener_estimator="mmse_full_est",
         loss_type="nmse", log=lambda *_: None,
     )
